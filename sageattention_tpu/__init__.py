@@ -1,0 +1,37 @@
+"""sageattention_tpu — TPU-native quantized attention (SageAttention rebuilt
+for JAX / Pallas / shard_map).
+
+Public surface mirrors `/root/reference/sageattention/__init__.py:1-5`, plus
+TPU-specific entry points and the in-repo sequence-parallel layer the
+reference delegates to xDiT.
+"""
+
+from .core import (
+    sageattn,
+    sageattn_qk_int8_pv_bf16,
+    sageattn_qk_int8_pv_int8,
+    sageattn_qk_int8_pv_fp8,
+    sageattn_qk_int8_pv_fp16_triton,
+    sageattn_qk_int8_pv_fp16_cuda,
+    sageattn_qk_int8_pv_fp8_cuda,
+    sageattn_qk_int8_pv_fp8_cuda_sm90,
+    flash_attention,
+)
+from .varlen import sageattn_varlen
+from .dispatch import detect as detect_tpu
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "sageattn",
+    "sageattn_varlen",
+    "sageattn_qk_int8_pv_bf16",
+    "sageattn_qk_int8_pv_int8",
+    "sageattn_qk_int8_pv_fp8",
+    "sageattn_qk_int8_pv_fp16_triton",
+    "sageattn_qk_int8_pv_fp16_cuda",
+    "sageattn_qk_int8_pv_fp8_cuda",
+    "sageattn_qk_int8_pv_fp8_cuda_sm90",
+    "flash_attention",
+    "detect_tpu",
+]

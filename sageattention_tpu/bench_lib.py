@@ -1,0 +1,100 @@
+"""Benchmark library (reference `bench/` equivalent).
+
+Kernel-scope timing: quantization preprocessing excluded, exactly like the
+reference's published numbers (`/root/reference/README.md:174` "quantization
+and smoothing excluded"; formula `bench_qk_int8_pv_fp16_cuda.py:39`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .dispatch import default_interpret, detect
+from .ops.attention import AttnConfig, attention_call
+from .utils.testing import attention_tflops, time_fn
+
+# Block configs tuned on TPU v5e (see PROGRESS notes): large tiles amortize
+# grid-step overhead; VMEM raised via compiler params inside attention_call.
+DEFAULT_BLOCKS = (1024, 1024)
+
+
+def _prep(B, H, S, D, pv_dtype, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    q_i8 = (jax.random.normal(ks[0], (B, H, S, D)) * 30).astype(jnp.int8)
+    k_i8 = (jax.random.normal(ks[1], (B, H, S, D)) * 30).astype(jnp.int8)
+    q_scale = jax.random.uniform(ks[2], (B, H, S, 1), jnp.float32, 0.01, 0.02)
+    k_scale = jax.random.uniform(ks[3], (B, H, 1, S), jnp.float32, 0.01, 0.02)
+    if pv_dtype == "bf16":
+        v = jax.random.normal(ks[4], (B, H, S, D), jnp.bfloat16)
+        v_scale = None
+    elif pv_dtype == "int8":
+        v = (jax.random.normal(ks[4], (B, H, S, D)) * 30).astype(jnp.int8)
+        v_scale = jnp.full((B, H, 1, D), 0.02, jnp.float32)
+    else:
+        v = jax.random.normal(ks[4], (B, H, S, D)).astype(jnp.float8_e4m3fn)
+        v_scale = jnp.full((B, H, 1, D), 0.02, jnp.float32)
+    return q_i8, k_i8, v, q_scale, k_scale, v_scale
+
+
+def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
+                 blocks=DEFAULT_BLOCKS, quantized=True, reps=10,
+                 interpret: Optional[bool] = None):
+    """Time one kernel config; returns (seconds, tflops)."""
+    if interpret is None:
+        interpret = default_interpret()
+    bq, bk = blocks
+    bq, bk = min(bq, S), min(bk, S)
+    cfg = AttnConfig(block_q=bq, block_k=bk, causal=causal,
+                     quantized=quantized, pv_dtype=pv_dtype, layout="HND",
+                     kv_len=S, out_dtype=jnp.bfloat16)
+    if quantized:
+        q, k, v, qs, ks, vs = _prep(B, H, S, D, pv_dtype)
+        fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
+        args = (q, k, v, qs, ks) + ((vs,) if pv_dtype != "bf16" else ())
+    else:
+        ks_ = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks_[0], (B, H, S, D), jnp.bfloat16)
+        k = jax.random.normal(ks_[1], (B, H, S, D), jnp.bfloat16)
+        v = jax.random.normal(ks_[2], (B, H, S, D), jnp.bfloat16)
+        cfg = AttnConfig(block_q=bq, block_k=bk, causal=causal, quantized=False,
+                         layout="HND", sm_scale=D ** -0.5, kv_len=S,
+                         out_dtype=jnp.bfloat16)
+        fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
+        args = (q, k, v)
+    t = time_fn(fn, *args, reps=reps)
+    return t, attention_tflops(B, H, S, S, D, causal, t)
+
+
+def run_headline(S=8192, D=128, B=4, H=32):
+    """The driver-facing headline: best quantized mode vs bf16 flash."""
+    caps = detect()
+    pv = "int8" if not caps.has_fast_fp8 else "fp8"
+    t_base, tf_base = bench_kernel(B, H, S, D, pv_dtype="bf16", quantized=False)
+    t_q, tf_q = bench_kernel(B, H, S, D, pv_dtype=pv, quantized=True)
+    speedup = t_base / t_q
+    return {
+        "metric": f"sageattn_qk_int8_pv_{pv} TFLOPS (B{B} H{H} S{S} hd{D}, kernel scope)",
+        "value": round(tf_q, 1),
+        "unit": "TFLOPS",
+        "vs_baseline": round(speedup, 3),
+        "baseline_tflops": round(tf_base, 1),
+        "device": caps.generation,
+    }
+
+
+def run_sweep(seqs=(1024, 2048, 4096, 8192, 16384, 32768), D=128, B=4, H=32,
+              causal=False):
+    """Reference-style sweep table (bench/bench_qk_int8_pv_*_cuda.py)."""
+    rows = []
+    for S in seqs:
+        t_b, tf_b = bench_kernel(B, H, S, D, causal=causal, pv_dtype="bf16",
+                                 quantized=False)
+        t_q, tf_q = bench_kernel(B, H, S, D, causal=causal, pv_dtype="int8")
+        rows.append({"seq": S, "flash_tflops": round(tf_b, 1),
+                     "sage_tflops": round(tf_q, 1),
+                     "speedup": round(t_b / t_q, 3)})
+    return rows

@@ -1,0 +1,377 @@
+"""Public API — reference-compatible attention entry points.
+
+TPU-native rebuild of `/root/reference/sageattention/core.py`.  The same
+public surface is kept (``sageattn``, ``sageattn_varlen`` plus the explicit
+per-mode entry points); the CUDA-arch suffixes map to TPU modes:
+
+  reference name                          TPU equivalent here
+  --------------------------------------  ----------------------------------
+  sageattn_qk_int8_pv_fp16_triton/_cuda   sageattn_qk_int8_pv_bf16
+  sageattn_qk_int8_pv_fp8_cuda(_sm90)     sageattn_qk_int8_pv_fp8
+  (no reference analogue)                 sageattn_qk_int8_pv_int8
+
+The reference names remain importable as aliases so code written against
+`sageattention` ports by changing only the import.  All functions are
+jit-friendly: flags are Python-level statics, everything else traces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import dispatch
+from .ops import quant as quant_ops
+from .ops.attention import AttnConfig, attention_call
+from .utils.layout import HND as HND_LAYOUT, get_layout, pad_axis, pad_head_dim, round_up
+
+LOG2E = quant_ops.LOG2E
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+
+def _finish_lse(lse_b2, lse_correction, sq):
+    """base-2 kernel lse -> natural-log lse (+ smooth_k repair), sliced to
+    the true query length — mirrors `core.py:328-331`."""
+    lse = lse_b2[..., :sq] / LOG2E
+    if lse_correction is not None:
+        lse = lse + lse_correction
+    return lse
+
+
+def _sage_attention(
+    q,
+    k,
+    v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    smooth_k: bool = True,
+    smooth_v: bool = True,
+    qk_quant_gran: str = "per_thread",
+    pv_dtype: str = "bf16",
+    return_lse: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+):
+    """Shared quantized-attention pipeline (quant -> kernel -> repair).
+
+    Internally everything runs in HND; NHD inputs are transposed once at
+    entry and the output transposed back (TPU block tiling cannot index
+    (B,S,H,D) per-head natively — see ops/attention.py).
+    """
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        q = jnp.swapaxes(q, 1, 2)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+    B, Hq, Sq, D_og = q.shape
+    _, Hk, Sk, _ = k.shape
+    if Hq % Hk != 0:
+        raise ValueError(f"num_qo_heads ({Hq}) must be divisible by num_kv_heads ({Hk})")
+    if is_causal and Sq != Sk:
+        raise ValueError("is_causal requires qo_len == kv_len (as in the reference)")
+    if sm_scale is None:
+        sm_scale = 1.0 / (D_og ** 0.5)
+    if interpret is None:
+        interpret = dispatch.default_interpret()
+    if qk_quant_gran not in quant_ops.QUANT_GRANULARITIES:
+        raise ValueError(f"unknown qk_quant_gran {qk_quant_gran!r}")
+    q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
+
+    # K mean over the true sequence, before padding (smooth_k,
+    # `core.py:772-788`): softmax is shift-invariant so only lse needs repair.
+    km = quant_ops.k_mean(k, "HND") if smooth_k else None
+
+    # Pad head_dim to {64,128,256} and seq lens to the kernel blocks.
+    q, D = pad_head_dim(q, HND_LAYOUT)
+    k, _ = pad_head_dim(k, HND_LAYOUT)
+    v, _ = pad_head_dim(v, HND_LAYOUT)
+    if km is not None:
+        km = pad_axis(km, 3, D)
+    Sq_pad = round_up(Sq, block_q)
+    Sk_pad = round_up(Sk, block_k)
+    q = pad_axis(q, 2, Sq_pad)
+    k = pad_axis(k, 2, Sk_pad)
+    v = pad_axis(v, 2, Sk_pad)
+
+    # Quantize Q/K (sm_scale*log2e folded into Q).
+    q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
+        q, k, km, sm_scale, q_group, k_group, "HND")
+    q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
+    k_scale = quant_ops.expand_scales_cols(k_s, k_group, Sk_pad)
+
+    # V per pv mode.
+    v_scale = None
+    vm = None
+    if pv_dtype == "bf16":
+        v_in = v.astype(jnp.bfloat16)
+    elif pv_dtype == "int8":
+        v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=smooth_v)
+        v_scale = vs[:, :, None, :]
+    elif pv_dtype == "fp8":
+        v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=smooth_v)
+        v_scale = vs[:, :, None, :]
+    else:
+        raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
+
+    cfg = AttnConfig(
+        block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
+        pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
+        out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
+    )
+    out, lse_b2 = attention_call(
+        q_i8, k_i8, v_in, q_scale, k_scale, v_scale, cfg=cfg, interpret=interpret)
+
+    # smooth_v repair: o += vm (valid because sum(p)/l == 1 per row).
+    if vm is not None:
+        vm_l = vm
+        if Hq != Hk:
+            vm_l = jnp.repeat(vm_l, Hq // Hk, axis=1)
+        out = (out.astype(jnp.float32) + vm_l).astype(out.dtype)
+
+    # Slice padding.
+    out = out[:, :, :Sq, :D_og]
+    if not layout.is_hnd:
+        out = jnp.swapaxes(out, 1, 2)
+
+    if not return_lse:
+        return out
+    lse_correction = None
+    if smooth_k:
+        # (q . km) * sm_scale per row, natural-log units (`core.py:784-788`).
+        qh = q[:, :, :Sq]
+        kmh = km if km.shape[1] == Hq else jnp.repeat(km, Hq // Hk, axis=1)
+        lse_correction = jnp.einsum(
+            "bhsd,bhod->bhs", qh.astype(jnp.float32), kmh.astype(jnp.float32)
+        ) * sm_scale
+    return out, _finish_lse(lse_b2, lse_correction, Sq)
+
+
+@functools.lru_cache(maxsize=256)
+def _diff_sage_factory(opts_items):
+    """Build a custom-vjp attention fn for a fixed static config.
+
+    Forward: the quantized pipeline.  Backward: exact flash-attention
+    gradients from the saved (q, k, v, o, lse) — the straight-through
+    scheme of SageBwd (see ops/backward.py).  Quantization ops themselves
+    have no useful gradient, so the estimator is attached here, above them.
+    """
+    opts = dict(opts_items)
+    layout_is_hnd = opts["tensor_layout"] == "HND"
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _sage_attention(q, k, v, return_lse=False, **opts)
+
+    def fwd(q, k, v):
+        o, lse = _sage_attention(q, k, v, return_lse=True, **opts)
+        return o, (q, k, v, o, lse)
+
+    def bwd(res, do):
+        from .ops.backward import attention_backward
+        q, k, v, o, lse = res
+        if not layout_is_hnd:
+            q, k, v, o, do = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, o, do))
+        sm_scale = opts["sm_scale"]
+        if sm_scale is None:
+            sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+        dq, dk, dv = attention_backward(
+            q, k, v, o, lse, do, sm_scale=sm_scale,
+            is_causal=opts["is_causal"])
+        if not layout_is_hnd:
+            dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
+        return dq, dk, dv
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _dispatch_diff(q, k, v, **opts):
+    """Route through the differentiable wrapper (static opts hashed)."""
+    return _diff_sage_factory(tuple(sorted(opts.items())))(q, k, v)
+
+
+def sageattn(
+    q,
+    k,
+    v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    return_lse: bool = False,
+    **kwargs: Any,
+):
+    """Auto-dispatching SageAttention (reference `core.py:79-157`).
+
+    Picks the fastest accurate mode for the local TPU generation:
+    int8 QK^T everywhere; PV in fp8 on generations with a native fp8 MXU,
+    otherwise int8 PV with per-channel scales + mean smoothing.
+
+    Layouts: "HND" [B,H,S,D] or "NHD" [B,S,H,D]; GQA via Hq % Hk == 0;
+    ``return_lse`` returns the natural-log row logsumexp for ring attention.
+    """
+    caps = dispatch.detect()
+    return _sage_attention(
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+        sm_scale=sm_scale, return_lse=return_lse,
+        qk_quant_gran=kwargs.pop("qk_quant_gran", "per_thread"),
+        pv_dtype=kwargs.pop("pv_dtype", caps.default_pv_dtype),
+        smooth_k=kwargs.pop("smooth_k", True),
+        smooth_v=kwargs.pop("smooth_v", True),
+        interpret=kwargs.pop("interpret", None),
+    )
+
+
+def sageattn_qk_int8_pv_bf16(
+    q, k, v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    qk_quant_gran: str = "per_thread",
+    sm_scale: Optional[float] = None,
+    smooth_k: bool = True,
+    return_lse: bool = False,
+    **kwargs: Any,
+):
+    """INT8 QK^T + bf16 PV with fp32 accumulation — the TPU analogue of the
+    reference's most robust mode, ``sageattn_qk_int8_pv_fp16_cuda`` with
+    ``pv_accum_dtype="fp32"`` (`core.py:451-633`)."""
+    return _sage_attention(
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+        sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=False,
+        qk_quant_gran=qk_quant_gran, pv_dtype="bf16", return_lse=return_lse,
+        interpret=kwargs.pop("interpret", None),
+    )
+
+
+def sageattn_qk_int8_pv_int8(
+    q, k, v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    qk_quant_gran: str = "per_thread",
+    sm_scale: Optional[float] = None,
+    smooth_k: bool = True,
+    smooth_v: bool = True,
+    return_lse: bool = False,
+    **kwargs: Any,
+):
+    """INT8 QK^T + INT8 PV (per-channel V scales, V-mean smoothing) — the
+    TPU-native lowest-bit mode: both matmuls run at the MXU's 2x int8 rate.
+    No direct reference analogue (the closest is the fp8-PV SageAttention2
+    path, `core.py:636-826`); accuracy is maintained the same way — fine
+    QK scale granularity + smoothing + exact normalization by the quantized
+    P rowsum."""
+    return _sage_attention(
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+        sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=smooth_v,
+        qk_quant_gran=qk_quant_gran, pv_dtype="int8", return_lse=return_lse,
+        interpret=kwargs.pop("interpret", None),
+    )
+
+
+def sageattn_qk_int8_pv_fp8(
+    q, k, v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    qk_quant_gran: str = "per_thread",
+    sm_scale: Optional[float] = None,
+    smooth_k: bool = True,
+    smooth_v: bool = True,
+    return_lse: bool = False,
+    **kwargs: Any,
+):
+    """INT8 QK^T + FP8(e4m3) PV with the exp-offset trick — SageAttention2
+    equivalent (`core.py:636-826`; offset math `attn_utils.cuh:30,377-389`).
+    Fast only on TPU generations with a native fp8 MXU (see dispatch.py);
+    numerically valid everywhere."""
+    return _sage_attention(
+        q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
+        sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=smooth_v,
+        qk_quant_gran=qk_quant_gran, pv_dtype="fp8", return_lse=return_lse,
+        interpret=kwargs.pop("interpret", None),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible aliases (drop-in import parity).
+# ---------------------------------------------------------------------------
+
+def _alias(fn, note):
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        kwargs.pop("pv_accum_dtype", None)       # accumulation is always fp32 on TPU
+        kwargs.pop("quantization_backend", None)  # single backend on TPU
+        kwargs.pop("attn_mask", None)
+        return fn(*args, **kwargs)
+    wrapper.__doc__ = note + "\n\n" + (fn.__doc__ or "")
+    return wrapper
+
+
+sageattn_qk_int8_pv_fp16_triton = _alias(
+    sageattn_qk_int8_pv_bf16,
+    "Reference-name alias (`core.py:160-331`): fp16 PV maps to bf16 PV on TPU.")
+sageattn_qk_int8_pv_fp16_cuda = _alias(
+    sageattn_qk_int8_pv_bf16,
+    "Reference-name alias (`core.py:451-633`): fp16 PV maps to bf16 PV on TPU.")
+sageattn_qk_int8_pv_fp8_cuda = _alias(
+    sageattn_qk_int8_pv_fp8,
+    "Reference-name alias (`core.py:636-826`).")
+sageattn_qk_int8_pv_fp8_cuda_sm90 = _alias(
+    sageattn_qk_int8_pv_fp8,
+    "Reference-name alias (`core.py:829-996`).")
+
+
+def flash_attention(
+    q, k, v,
+    tensor_layout: str = "HND",
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    return_lse: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+):
+    """Unquantized bf16 FlashAttention baseline (Pallas).
+
+    This is the denominator of the >=2x performance target (BASELINE.md) and
+    the numeric baseline the quantized modes are compared against.
+    """
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        q = jnp.swapaxes(q, 1, 2)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+    B, Hq, Sq, D_og = q.shape
+    Sk = k.shape[2]
+    if is_causal and Sq != Sk:
+        raise ValueError("is_causal requires qo_len == kv_len")
+    if sm_scale is None:
+        sm_scale = 1.0 / (D_og ** 0.5)
+    if interpret is None:
+        interpret = dispatch.default_interpret()
+
+    q, D = pad_head_dim(q, HND_LAYOUT)
+    k, _ = pad_head_dim(k, HND_LAYOUT)
+    v, _ = pad_head_dim(v, HND_LAYOUT)
+    Sq_pad = round_up(Sq, block_q)
+    Sk_pad = round_up(Sk, block_k)
+    q = pad_axis(q, 2, Sq_pad).astype(jnp.bfloat16)
+    k = pad_axis(k, 2, Sk_pad).astype(jnp.bfloat16)
+    v = pad_axis(v, 2, Sk_pad).astype(jnp.bfloat16)
+
+    cfg = AttnConfig(
+        block_q=block_q, block_k=block_k, causal=is_causal, quantized=False,
+        layout="HND", sm_scale=sm_scale, kv_len=Sk, out_dtype=jnp.bfloat16,
+    )
+    out, lse_b2 = attention_call(q, k, v, cfg=cfg, interpret=interpret)
+    out = out[:, :, :Sq, :D_og]
+    if not layout.is_hnd:
+        out = jnp.swapaxes(out, 1, 2)
+    if not return_lse:
+        return out
+    return out, _finish_lse(lse_b2, None, Sq)

@@ -1,0 +1,77 @@
+"""Model integration: drop-in replacement for jax.nn.dot_product_attention.
+
+The reference integrates into models by monkeypatching
+``F.scaled_dot_product_attention = sageattn``
+(`/root/reference/example/cogvideox_infer.py:35`) or by swapping per-block
+attention processors (`example/modify_model/*.py`).  The JAX equivalents:
+
+  - :func:`sage_dot_product_attention` — signature-compatible with
+    ``jax.nn.dot_product_attention`` (NHD: [B, S, H, D]); pass it anywhere a
+    model takes an attention callable.
+  - :func:`patch_jax_nn_attention` — context manager that globally swaps
+    ``jax.nn.dot_product_attention`` (the literal monkeypatch analogue, for
+    third-party model code you cannot edit).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import sageattn
+
+
+def sage_dot_product_attention(
+    query,
+    key,
+    value,
+    bias=None,
+    mask=None,
+    *,
+    scale: Optional[float] = None,
+    is_causal: bool = False,
+    query_seq_lengths=None,
+    key_value_seq_lengths=None,
+    local_window_size=None,
+    implementation=None,
+    **kwargs,
+):
+    """``jax.nn.dot_product_attention``-compatible SageAttention.
+
+    Inputs are NHD ([batch, seq, heads, head_dim]) like jax.nn's contract.
+    ``bias``/``mask``/windowing fall back to the exact jax.nn implementation
+    (the reference likewise skips masked models — hunyuan example is
+    disabled for that reason, `example/hunyuan_infer.py:6-12`).
+    """
+    unsupported = (bias is not None or mask is not None
+                   or query_seq_lengths is not None
+                   or key_value_seq_lengths is not None
+                   or local_window_size is not None)
+    if unsupported:
+        return jax.nn.dot_product_attention(
+            query, key, value, bias=bias, mask=mask, scale=scale,
+            is_causal=is_causal, query_seq_lengths=query_seq_lengths,
+            key_value_seq_lengths=key_value_seq_lengths,
+            local_window_size=local_window_size)
+    return sageattn(query, key, value, tensor_layout="NHD",
+                    is_causal=is_causal, sm_scale=scale, **kwargs)
+
+
+@contextlib.contextmanager
+def patch_jax_nn_attention(**sage_kwargs):
+    """Globally replace ``jax.nn.dot_product_attention`` with SageAttention
+    for the duration of the context (restores the original on exit)."""
+    original = jax.nn.dot_product_attention
+
+    def patched(query, key, value, *args, **kw):
+        kw = {**kw, **sage_kwargs}
+        return sage_dot_product_attention(query, key, value, *args, **kw)
+
+    jax.nn.dot_product_attention = patched
+    try:
+        yield
+    finally:
+        jax.nn.dot_product_attention = original

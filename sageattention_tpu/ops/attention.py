@@ -1,0 +1,319 @@
+"""Pallas TPU attention kernels.
+
+One configurable FlashAttention-style kernel replaces the reference's CUDA
+kernel zoo (`/root/reference/csrc/qattn/qk_int_sv_f16_cuda_sm80.cu`,
+`qk_int_sv_f8_cuda_sm89.cuh`, `qk_int_sv_f8_cuda_sm90.cu` and the Triton
+`sageattention/triton/attn_qk_int8_per_block*.py` kernels).  Where CUDA needs
+one hand-scheduled kernel per (arch, accum dtype, fuse flag), on TPU the
+Mosaic compiler handles layout/pipelining and a single kernel body is
+specialized by closure over a static config:
+
+  - ``quantized=False``           -> bf16 flash baseline (the 2x denominator)
+  - ``quantized=True, pv='bf16'`` -> int8 QK^T on the MXU, bf16 PV
+                                     (analogue of sm80 qk_int8_sv_f16)
+  - ``quantized=True, pv='int8'`` -> int8 QK^T + int8 PV with per-channel
+                                     V scales (TPU-native lowest-bit mode;
+                                     v5e has no fast fp8, int8 = 2x bf16)
+  - ``quantized=True, pv='fp8'``  -> fp8 e4m3 PV with the exp-offset trick
+                                     (analogue of sm89 SageAttention2,
+                                     `attn_utils.cuh:30,377-389`)
+
+Design notes (TPU-first):
+  - grid (batch, q_heads, q_blocks, kv_blocks), kv innermost/"arbitrary";
+    Pallas double-buffers the K/V block DMAs across grid steps automatically.
+  - online softmax in base 2 (sm_scale*log2e folded into Q by the quantizer,
+    as in `triton/quant_per_block.py:87`); running stats m/l live in VMEM
+    scratch shaped (block_q, 128).
+  - scales enter as per-row tensors: q_scale [B,H,Sq,1], k_scale [B,H,1,Sk]
+    (expanded from group scales by the front end) so the in-kernel scale
+    application is a rank-1 broadcast multiply on the S tile — the TPU
+    equivalent of the reference's per-warp/per-thread fragment indexing
+    (`qk_int_sv_f16_cuda_sm80.cu:100-134`).
+  - the kernel operates in HND; the public layer transposes NHD inputs once
+    at entry (TPU block tiling requires the last two array dims to be the
+    blocked ones, so (B,S,H,D) cannot be blocked per-head natively).  The
+    reference's dedicated V-transpose kernel
+    (`csrc/fused/fused.cu:262-313`) is still unnecessary: ``dot_general``
+    contracts the seq dim of V directly.
+  - causal masking takes dynamic q/kv start offsets (SMEM scalars) so the
+    same kernel serves single-chip causal attention and rotating ring-
+    attention shards; off-diagonal blocks are skipped with ``pl.when``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.layout import get_layout
+
+LANES = 128
+MASK_NEG = -1e30  # added to masked scores (finite: avoids exp(-inf - -inf))
+M_CLAMP = -1e20   # lower clamp for running max => exp2(MASK_NEG - m) == 0
+# log2(448): shifts p into (0, 448] to fill the e4m3 range; cancels in the
+# normalization, subtracted from lse (`attn_utils.cuh:30,377-389`).
+FP8_OFFSET_LOG2 = 8.807354922057604
+LOG2E = 1.4426950408889634
+
+
+@dataclasses.dataclass(frozen=True)
+class AttnConfig:
+    block_q: int = 128
+    block_k: int = 128
+    causal: bool = False
+    quantized: bool = True
+    pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
+    layout: str = "HND"
+    sm_scale: float = 1.0  # only used when quantized=False (folded by quant otherwise)
+    kv_len: int = 0        # true kv length (pre-padding)
+    out_dtype: jnp.dtype = jnp.bfloat16
+    segmented: bool = False  # varlen segment-id masking
+
+
+def _bcast_cols(x128, n):
+    """Broadcast a (rows, 128) lane-replicated stat to (rows, n) columns."""
+    if n == 128:
+        return x128
+    if n < 128:
+        return x128[:, :n]
+    return jnp.concatenate([x128] * (n // 128), axis=1)
+
+
+def _attn_kernel(
+    # refs (built dynamically; see _make_inputs): [offsets?] q k v [qs ks] [vs]
+    # [q_seg kv_seg] out lse m_scr l_scr acc_scr
+    *refs,
+    cfg: AttnConfig,
+    n_kv: int,
+):
+    it = iter(refs)
+    offs_ref = next(it) if cfg.causal else None
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    if cfg.quantized:
+        qs_ref = next(it)
+        ks_ref = next(it)
+        vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
+    q_seg_ref = next(it) if cfg.segmented else None
+    kv_seg_ref = next(it) if cfg.segmented else None
+    o_ref = next(it)
+    lse_ref = next(it)
+    m_scr = next(it)
+    l_scr = next(it)
+    acc_scr = next(it)
+
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    BQ, BK = cfg.block_q, cfg.block_k
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    if cfg.causal:
+        q_start = offs_ref[0]
+        kv_start = offs_ref[1]
+        # block participates iff its first kv position <= last q position
+        run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
+    else:
+        run = True
+
+    @pl.when(run)
+    def _body():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        D = q.shape[-1]
+
+        if cfg.quantized:
+            s32 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            qs = qs_ref[0, 0]          # (BQ, 1)
+            ks = ks_ref[0, 0]          # (1, BK)
+            s = s32.astype(jnp.float32) * qs * ks  # base-2 logits
+        else:
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            s = s * (cfg.sm_scale * LOG2E)
+
+        need_tail_mask = (cfg.kv_len % BK) != 0
+        if need_tail_mask:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
+            s = jnp.where(cols < cfg.kv_len, s, MASK_NEG)
+        if cfg.causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ + q_start
+            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK + kv_start
+            s = jnp.where(cols <= rows, s, MASK_NEG)
+        if cfg.segmented:
+            q_seg = q_seg_ref[0]       # (BQ, 1) int32
+            kv_seg = kv_seg_ref[0]     # (1, BK) int32
+            s = jnp.where(q_seg == kv_seg, s, MASK_NEG)
+
+        m_prev = m_scr[...]            # (BQ, 128)
+        l_prev = l_scr[...]
+        m_cur = jnp.max(s, axis=1, keepdims=True)      # (BQ, 1)
+        m_next = jnp.maximum(jnp.maximum(m_prev, m_cur), M_CLAMP)
+        alpha = jnp.exp2(m_prev - m_next)              # (BQ, 128)
+
+        off = FP8_OFFSET_LOG2 if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0
+        p = jnp.exp2(s - _bcast_cols(m_next, BK) + off)  # (BQ, BK)
+
+        v = v_ref[0, 0]
+        if not cfg.quantized or cfg.pv_dtype == "bf16":
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+        elif cfg.pv_dtype == "int8":
+            # p in (0,1]: quantize with the static scale 127 (round-to-nearest);
+            # l sums the *quantized* p so normalization cancels rounding error
+            # exactly, as the reference does for fp8 (rowsum of quantized P,
+            # `mma.cuh:685-721`).  1/127 and per-channel v_scale fold into the
+            # epilogue.
+            p_q = jnp.rint(p * 127.0)
+            l_cur = jnp.sum(p_q, axis=1, keepdims=True) * (1.0 / 127.0)
+            pv = jax.lax.dot_general(
+                p_q.astype(jnp.int8), v,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:  # fp8
+            p_q = p.astype(jnp.float8_e4m3fn)
+            l_cur = jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p_q, v,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+
+        m_scr[...] = m_next
+        l_scr[...] = alpha * l_prev + l_cur
+        acc_scr[...] = acc_scr[...] * _bcast_cols(alpha, D) + pv
+
+    @pl.when(j == n_kv - 1)
+    def _epilogue():
+        D = acc_scr.shape[-1]
+        l = l_scr[...]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o = acc_scr[...] * _bcast_cols(1.0 / l_safe, D)
+        if cfg.quantized and cfg.pv_dtype == "int8":
+            o = o * (vs_ref[0, 0] * (1.0 / 127.0))  # (1, D) per-channel
+        elif cfg.quantized and cfg.pv_dtype == "fp8":
+            # fp8 exp-offset cancels in o (both acc and l carry 2^off)
+            o = o * vs_ref[0, 0]
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+        # lse in base 2 (converted to natural log by the host wrapper,
+        # matching `core.py:328-331`); subtract the fp8 offset carried by l.
+        off = FP8_OFFSET_LOG2 if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0
+        lse = m_scr[:, :1] + jnp.log2(jnp.maximum(l[:, :1], 1e-37)) - off
+        lse_ref[0, 0] = lse  # (BQ, 1)
+
+
+def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented):
+    """Build (in_specs skeleton is assembled by caller) block specs."""
+    BQ, BK = cfg.block_q, cfg.block_k
+    G = Hq // Hk
+
+    q_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
+    k_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, j, 0))
+    v_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, j, 0))
+    o_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
+
+    qs_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0))
+    ks_spec = pl.BlockSpec((1, 1, 1, BK), lambda b, h, i, j: (b, h // G, 0, j))
+    vs_spec = pl.BlockSpec((1, 1, 1, D), lambda b, h, i, j: (b, h // G, 0, 0))
+    # lse carries a trailing singleton dim so the (BQ, 1) block satisfies TPU
+    # tiling rules; squeezed before returning.
+    lse_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0))
+    qseg_spec = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, 0))
+    kseg_spec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j))
+    return q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec, qseg_spec, kseg_spec
+
+
+def attention_call(
+    q,
+    k,
+    v,
+    q_scale=None,   # [B, Hq, Sq, 1] f32 per-row (quantized only)
+    k_scale=None,   # [B, Hk, 1, Sk] f32 per-col (quantized only)
+    v_scale=None,   # [B, Hk, 1, D] f32 per-channel (pv int8/fp8 only)
+    offsets=None,   # (2,) int32 [q_start, kv_start] (causal only)
+    q_segments=None,   # [B, Sq, 1] int32 (varlen only)
+    kv_segments=None,  # [B, 1, Sk] int32 (varlen only)
+    *,
+    cfg: AttnConfig,
+    interpret: bool = False,
+):
+    """Launch the attention kernel.  Inputs must be HND ([B, H, S, D] — the
+    public layer transposes NHD); all seq dims pre-padded to the block
+    sizes; masking of the kv tail uses ``cfg.kv_len``.
+
+    Returns (out [B, Hq, Sq_pad, D], lse_base2 [B, Hq, Sq_pad] f32).
+    """
+    assert cfg.layout == "HND", "attention_call operates in HND; transpose first"
+    B, Hq, Sq, D = q.shape
+    _, Hk, Sk, _ = k.shape
+    BQ, BK = cfg.block_q, cfg.block_k
+    assert Sq % BQ == 0 and Sk % BK == 0, (Sq, Sk, BQ, BK)
+    assert Hq % Hk == 0
+    n_q, n_kv = Sq // BQ, Sk // BK
+    with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
+
+    (q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec,
+     qseg_spec, kseg_spec) = _specs(cfg, B, Hq, Hk, Sq, Sk, D, with_vscale, cfg.segmented)
+
+    in_specs = []
+    inputs = []
+    if cfg.causal:
+        if offsets is None:
+            offsets = jnp.zeros((2,), jnp.int32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(offsets.astype(jnp.int32))
+    in_specs += [q_spec, k_spec, v_spec]
+    inputs += [q, k, v]
+    if cfg.quantized:
+        in_specs += [qs_spec, ks_spec]
+        inputs += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
+        if with_vscale:
+            in_specs.append(vs_spec)
+            inputs.append(v_scale.astype(jnp.float32))
+    if cfg.segmented:
+        in_specs += [qseg_spec, kseg_spec]
+        inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]
+
+    out_shape_o = jax.ShapeDtypeStruct((B, Hq, Sq, D), cfg.out_dtype)
+    out_shapes = (out_shape_o, jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32))
+
+    kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv)
+    flops = 4 * B * Hq * Sq * Sk * D // (2 if cfg.causal else 1)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(B, Hq, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=(o_spec, lse_spec),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((BQ, LANES), jnp.float32),
+            pltpu.VMEM((BQ, LANES), jnp.float32),
+            pltpu.VMEM((BQ, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size + k.size + v.size + out_shape_o.size,
+            transcendentals=B * Hq * Sq * Sk,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return out, lse[..., 0]

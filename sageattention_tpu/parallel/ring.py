@@ -1,0 +1,161 @@
+"""Ring attention over ICI — quantized KV blocks rotate with their scales.
+
+The reference only *hooks into* external ring attention via ``return_lse``
+(`/root/reference/sageattention/core.py:120-133`); xDiT does the actual
+communication with NCCL.  Here the ring is in-repo and TPU-native:
+
+  - ``shard_map`` over the "sp" mesh axis, ``jax.lax.ppermute`` rotation —
+    point-to-point neighbor transfers that ride ICI links.
+  - K/V are quantized ONCE per shard before the ring starts; the **int8
+    payloads + their scales** rotate, halving ring bandwidth vs bf16.
+  - K-mean smoothing needs the *global* K mean: a ``pmean`` over the ring
+    axis before quantization (SURVEY.md §7 "hard parts").
+  - Partial outputs merge by lse-weighted online-softmax combination, the
+    same math the kernel uses across KV tiles, applied across chips.
+  - Causal masking uses the kernel's dynamic q/kv offsets: off-diagonal
+    source chunks skip all their tiles inside the kernel at runtime.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..dispatch import default_interpret, detect
+from ..ops import quant as quant_ops
+from ..ops.attention import AttnConfig, attention_call
+from .mesh import DP, SP, TP
+
+LOG2E = quant_ops.LOG2E
+
+
+def _merge(o1, lse1, o2, lse2):
+    """Combine two attention partials (natural-log lse), lse-weighted."""
+    m = jnp.maximum(lse1, lse2)
+    w1 = jnp.exp(lse1 - m)
+    w2 = jnp.exp(lse2 - m)
+    l = w1 + w2
+    l = jnp.where(l == 0.0, 1.0, l)
+    o = (o1.astype(jnp.float32) * w1[..., None] + o2.astype(jnp.float32) * w2[..., None]) / l[..., None]
+    return o, m + jnp.log(l)
+
+
+def _ring_body(
+    q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran, pv_dtype,
+    interpret, block_q, block_k, return_lse,
+):
+    """Runs on each device inside shard_map.  q/k/v: local HND shards
+    [B, H, S_local, D]; head_dim and seq already padded/aligned by caller."""
+    B, H, S, D = q.shape
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    # Global K mean over the ring (smooth_k with exact global mean).
+    km_local = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
+    km = jax.lax.pmean(km_local, axis_name)
+
+    q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
+    q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(q, k, km, sm_scale, q_group, k_group, "HND")
+    q_scale = quant_ops.expand_scales_rows(q_s, q_group, S)
+    k_scale = quant_ops.expand_scales_cols(k_s, k_group, S)
+
+    if pv_dtype == "bf16":
+        v_in = v.astype(jnp.bfloat16)
+        v_scale = jnp.ones((B, H, 1, D), jnp.float32)  # rotated for uniformity
+        vm = jnp.zeros((B, H, 1, D), jnp.float32)
+    elif pv_dtype == "int8":
+        v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=True)
+        v_scale = vs[:, :, None, :]
+    else:
+        v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=True)
+        v_scale = vs[:, :, None, :]
+
+    cfg = AttnConfig(
+        block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
+        pv_dtype=pv_dtype, layout="HND", kv_len=S, out_dtype=jnp.float32,
+    )
+    call = functools.partial(attention_call, cfg=cfg, interpret=interpret)
+
+    def step_attend(state, kv_chunk, step):
+        o_acc, lse_acc = state
+        k_i8_c, k_scale_c, v_c, v_scale_c, vm_c = kv_chunk
+        src = (idx - step) % n
+        offsets = jnp.stack([idx * S, src * S]).astype(jnp.int32)
+        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, q_scale, k_scale_c,
+                           v_scale_c if pv_dtype != "bf16" else None,
+                           offsets=offsets if is_causal else None)
+        lse_p = lse_b2 / LOG2E
+        # smooth_v repair must happen pre-merge (each chunk has its own vm):
+        # o_true_chunk = o_p + vm_chunk (rows with l==0 produce o_p=0 and
+        # lse=-inf so the merge weight kills the spurious +vm).
+        if pv_dtype != "bf16":
+            o_p = o_p + vm_c.astype(o_p.dtype)
+        return _merge(o_acc, lse_acc, o_p, lse_p)
+
+    o_acc = jnp.zeros((B, H, S, D), jnp.float32)
+    lse_acc = jnp.full((B, H, S), -jnp.inf, jnp.float32)
+    chunk = (k_i8, k_scale, v_in, v_scale, vm)
+    for step in range(n):
+        o_acc, lse_acc = step_attend((o_acc, lse_acc), chunk, step)
+        if step != n - 1:
+            chunk = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), chunk)
+
+    # smooth_k lse repair (global km).
+    lse_corr = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
+                          km.astype(jnp.float32)) * sm_scale
+    lse_acc = lse_acc + lse_corr
+    o_acc = o_acc.astype(q.dtype)
+    if return_lse:
+        return o_acc, lse_acc
+    return o_acc
+
+
+def ring_sageattn(
+    q, k, v,
+    mesh: Mesh,
+    axis_name: str = SP,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    qk_quant_gran: str = "per_thread",
+    pv_dtype: Optional[str] = None,
+    return_lse: bool = False,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: Optional[bool] = None,
+):
+    """Sequence-parallel quantized attention over a mesh axis.
+
+    ``q/k/v``: global HND arrays [B, H, S, D]; S must divide evenly by the
+    ``axis_name`` mesh-axis size times ``block``.  Heads may additionally be
+    sharded over "tp" and batch over "dp" by the caller's shardings — this
+    wrapper only fixes the sequence axis.
+    """
+    B, H, S, D = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    if pv_dtype is None:
+        pv_dtype = detect().default_pv_dtype
+    if interpret is None:
+        interpret = default_interpret()
+    n = mesh.shape[axis_name]
+    assert S % (n * block_q) == 0 and S % (n * block_k) == 0, (
+        f"seq {S} must be a multiple of {n}*block for ring attention")
+    assert D in (64, 128, 256), "pad head_dim before ring_sageattn"
+
+    body = functools.partial(
+        _ring_body, axis_name=axis_name, is_causal=is_causal, sm_scale=sm_scale,
+        qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype, interpret=interpret,
+        block_q=block_q, block_k=block_k, return_lse=return_lse)
+
+    in_spec = P(None, None, axis_name, None)
+    out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \
+        if return_lse else P(None, None, axis_name, None)
+    return shard_map(body, mesh=mesh, in_specs=(in_spec,) * 3,
+                     out_specs=out_spec, check_rep=False)(q, k, v)

@@ -1,0 +1,184 @@
+"""Kernel tests: Pallas attention vs the fp32 jnp oracle across the config
+matrix (SURVEY.md §4: layout, causal, GQA, qo!=kv len, head_dim pads, lse).
+
+Thresholds follow BASELINE.md: cosine-sim >= 99.9% (diff <= 1e-3) for
+quantized modes; the bf16 flash baseline must be tighter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops.reference import sdpa, sdpa_nhd
+from sageattention_tpu.utils.testing import calc_diff
+
+
+def qkv(B=1, H=2, S=256, D=64, Hk=None, Sk=None, dtype=jnp.float32, scale=1.0, layout="HND"):
+    Hk = Hk or H
+    Sk = Sk or S
+    ks = jax.random.split(jax.random.PRNGKey(42), 3)
+    if layout == "HND":
+        shapes = [(B, H, S, D), (B, Hk, Sk, D), (B, Hk, Sk, D)]
+    else:
+        shapes = [(B, S, H, D), (B, Sk, Hk, D), (B, Sk, Hk, D)]
+    return tuple(jax.random.normal(k, s, dtype) * scale for k, s in zip(ks, shapes))
+
+
+class TestFlashBaseline:
+    def test_matches_oracle(self):
+        q, k, v = qkv()
+        out = sa.flash_attention(q, k, v)
+        assert calc_diff(out, sdpa(q, k, v)) < 2e-5
+
+    def test_causal(self):
+        q, k, v = qkv()
+        out = sa.flash_attention(q, k, v, is_causal=True)
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 2e-5
+
+    def test_lse(self):
+        q, k, v = qkv()
+        out, lse = sa.flash_attention(q, k, v, return_lse=True)
+        _, lse_ref = sdpa(q, k, v, return_lse=True)
+        assert np.abs(np.asarray(lse) - np.asarray(lse_ref)).max() < 0.02
+
+
+MODES = [
+    ("bf16", sa.sageattn_qk_int8_pv_bf16, 5e-4),
+    ("int8", sa.sageattn_qk_int8_pv_int8, 1e-3),
+    ("fp8", sa.sageattn_qk_int8_pv_fp8, 3e-3),
+]
+
+
+@pytest.mark.parametrize("name,fn,tol", MODES, ids=[m[0] for m in MODES])
+class TestQuantizedModes:
+    def test_basic(self, name, fn, tol):
+        q, k, v = qkv()
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+    def test_causal(self, name, fn, tol):
+        q, k, v = qkv()
+        out = fn(q, k, v, is_causal=True)
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < tol
+
+    def test_gqa(self, name, fn, tol):
+        q, k, v = qkv(H=4, Hk=2)
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+    def test_cross_lengths(self, name, fn, tol):
+        q, k, v = qkv(S=128, Sk=384)
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+    def test_unaligned_lengths(self, name, fn, tol):
+        q, k, v = qkv(S=200, Sk=333)
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+    def test_head_dim_pad(self, name, fn, tol):
+        q, k, v = qkv(D=80)  # padded to 128 internally
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+    def test_nhd_layout(self, name, fn, tol):
+        q, k, v = qkv(layout="NHD")
+        out = fn(q, k, v, tensor_layout="NHD")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa_nhd(q, k, v)) < tol
+
+    def test_head_dim_128(self, name, fn, tol):
+        q, k, v = qkv(D=128)
+        assert calc_diff(fn(q, k, v), sdpa(q, k, v)) < tol
+
+
+class TestLse:
+    @pytest.mark.parametrize("smooth_k", [True, False])
+    def test_lse_matches(self, smooth_k):
+        q, k, v = qkv()
+        out, lse = sa.sageattn_qk_int8_pv_bf16(q, k, v, return_lse=True,
+                                               smooth_k=smooth_k)
+        _, lse_ref = sdpa(q, k, v, return_lse=True)
+        assert np.abs(np.asarray(lse) - np.asarray(lse_ref)).max() < 0.05
+
+    def test_lse_causal(self):
+        q, k, v = qkv()
+        out, lse = sa.sageattn_qk_int8_pv_bf16(q, k, v, is_causal=True,
+                                               return_lse=True)
+        _, lse_ref = sdpa(q, k, v, is_causal=True, return_lse=True)
+        assert np.abs(np.asarray(lse) - np.asarray(lse_ref)).max() < 0.05
+
+
+class TestSmoothing:
+    def test_smooth_k_helps_offset_data(self):
+        """K with a large common-mode bias: smoothing must rescue accuracy
+        (the reference's motivating case for smooth_k)."""
+        q, k, v = qkv()
+        k = k + 20.0
+        ref = sdpa(q, k, v)
+        d_smooth = calc_diff(sa.sageattn_qk_int8_pv_bf16(q, k, v, smooth_k=True), ref)
+        d_raw = calc_diff(sa.sageattn_qk_int8_pv_bf16(q, k, v, smooth_k=False), ref)
+        assert d_smooth < d_raw
+        assert d_smooth < 5e-4
+
+    def test_smooth_v_helps_offset_v(self):
+        q, k, v = qkv()
+        v = v + 10.0
+        ref = sdpa(q, k, v)
+        d_smooth = calc_diff(
+            sa.sageattn_qk_int8_pv_int8(q, k, v, smooth_v=True), ref)
+        d_raw = calc_diff(
+            sa.sageattn_qk_int8_pv_int8(q, k, v, smooth_v=False), ref)
+        assert d_smooth < d_raw
+
+
+class TestGranularities:
+    @pytest.mark.parametrize("gran", ["per_block", "per_warp", "per_thread"])
+    def test_gran_accuracy(self, gran):
+        q, k, v = qkv(scale=2.0)
+        out = sa.sageattn_qk_int8_pv_bf16(q, k, v, qk_quant_gran=gran)
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_finer_is_more_accurate_on_outliers(self):
+        q, k, v = qkv()
+        # inject row outliers into q
+        q = q.at[:, :, ::7, :].multiply(30.0)
+        ref = sdpa(q, k, v)
+        d_block = calc_diff(sa.sageattn_qk_int8_pv_bf16(q, k, v, qk_quant_gran="per_block"), ref)
+        d_thread = calc_diff(sa.sageattn_qk_int8_pv_bf16(q, k, v, qk_quant_gran="per_thread"), ref)
+        assert d_thread <= d_block
+
+
+class TestApiSurface:
+    def test_reference_aliases_exist(self):
+        for name in ["sageattn", "sageattn_varlen", "sageattn_qk_int8_pv_fp16_triton",
+                     "sageattn_qk_int8_pv_fp16_cuda", "sageattn_qk_int8_pv_fp8_cuda",
+                     "sageattn_qk_int8_pv_fp8_cuda_sm90"]:
+            assert hasattr(sa, name)
+
+    def test_sageattn_auto(self):
+        q, k, v = qkv()
+        out = sa.sageattn(q, k, v)
+        assert calc_diff(out, sdpa(q, k, v)) < 2e-3
+
+    def test_alias_tolerates_reference_kwargs(self):
+        q, k, v = qkv()
+        out = sa.sageattn_qk_int8_pv_fp16_cuda(
+            q, k, v, pv_accum_dtype="fp32+fp16", quantization_backend="cuda")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_output_dtype_follows_q(self):
+        q, k, v = qkv(dtype=jnp.bfloat16)
+        assert sa.sageattn_qk_int8_pv_bf16(q, k, v).dtype == jnp.bfloat16
+
+    def test_jit_compatible(self):
+        q, k, v = qkv()
+        f = jax.jit(lambda q, k, v: sa.sageattn_qk_int8_pv_bf16(q, k, v))
+        assert calc_diff(f(q, k, v), sdpa(q, k, v)) < 1e-3
+
+    def test_causal_requires_equal_lengths(self):
+        q, k, v = qkv(S=128, Sk=256)
+        with pytest.raises(ValueError):
+            sa.sageattn_qk_int8_pv_bf16(q, k, v, is_causal=True)
+
+    def test_gqa_divisibility_enforced(self):
+        q, k, v = qkv(H=3, Hk=2)
+        with pytest.raises(ValueError):
+            sa.sageattn_qk_int8_pv_bf16(q, k, v)

@@ -1,0 +1,74 @@
+"""Distributed tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+ring/Ulysses paths must match the single-device kernel)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sageattention_tpu as sa
+from sageattention_tpu.parallel import make_mesh, ring_sageattn, ulysses_sageattn
+from sageattention_tpu.ops.reference import sdpa
+from sageattention_tpu.utils.testing import calc_diff
+
+
+def qkv(B=1, H=4, S=1024, D=64, scale=1.0):
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    return tuple(jax.random.normal(k, (B, H, S, D), jnp.float32) * scale for k in ks)
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return make_mesh(dp=1, sp=4, tp=1, devices=jax.devices()[:4])
+
+
+class TestRing:
+    def test_matches_oracle(self, mesh4):
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_matches_single_device(self, mesh4):
+        """Ring partials merged across shards == single-device quantized
+        attention (same quant granularity & smoothing)."""
+        q, k, v = qkv()
+        ring = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        single = sa.sageattn_qk_int8_pv_bf16(q, k, v)
+        # not bitwise (per-shard quant groups differ at boundaries) but tight
+        assert calc_diff(ring, single) < 2e-4
+
+    def test_causal(self, mesh4):
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+    def test_int8_pv(self, mesh4):
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="int8")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_lse(self, mesh4):
+        q, k, v = qkv()
+        out, lse = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16", return_lse=True)
+        _, lse_ref = sdpa(q, k, v, return_lse=True)
+        assert np.abs(np.asarray(lse) - np.asarray(lse_ref)).max() < 0.05
+
+
+class TestUlysses:
+    def test_matches_oracle(self, mesh4):
+        q, k, v = qkv()
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_causal(self, mesh4):
+        q, k, v = qkv()
+        out = ulysses_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+    def test_matches_single_device_exactly(self, mesh4):
+        """Ulysses runs the identical single-device pipeline per head group:
+        results must match the non-distributed call to float tolerance."""
+        q, k, v = qkv()
+        uly = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        single = sa.sageattn_qk_int8_pv_bf16(q, k, v)
+        assert calc_diff(uly, single) < 1e-6

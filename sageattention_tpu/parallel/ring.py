@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..dispatch import default_interpret, detect
 from ..ops import quant as quant_ops
@@ -147,7 +147,12 @@ def ring_sageattn(
     n = mesh.shape[axis_name]
     assert S % (n * block_q) == 0 and S % (n * block_k) == 0, (
         f"seq {S} must be a multiple of {n}*block for ring attention")
-    assert D in (64, 128, 256), "pad head_dim before ring_sageattn"
+    D_og = D
+    if D not in (64, 128, 256):
+        target = 64 if D < 64 else (128 if D < 128 else 256)
+        pads = [(0, 0)] * 3 + [(0, target - D)]
+        q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
+        D = target
 
     body = functools.partial(
         _ring_body, axis_name=axis_name, is_causal=is_causal, sm_scale=sm_scale,
@@ -157,5 +162,11 @@ def ring_sageattn(
     in_spec = P(None, None, axis_name, None)
     out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \
         if return_lse else P(None, None, axis_name, None)
-    return shard_map(body, mesh=mesh, in_specs=(in_spec,) * 3,
-                     out_specs=out_spec, check_rep=False)(q, k, v)
+    res = shard_map(body, mesh=mesh, in_specs=(in_spec,) * 3,
+                    out_specs=out_spec, check_vma=False)(q, k, v)
+    if D_og != D:
+        if return_lse:
+            res = (res[0][..., :D_og], res[1])
+        else:
+            res = res[..., :D_og]
+    return res

@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..dispatch import default_interpret, detect
 from .. import core as core_api
@@ -73,4 +73,4 @@ def ulysses_sageattn(
         interpret=interpret)
     spec = P(None, None, axis_name, None)
     return shard_map(body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
-                     check_rep=False)(q, k, v)
+                     check_vma=False)(q, k, v)

@@ -17,9 +17,7 @@ from .dispatch import default_interpret, detect
 from .ops.attention import AttnConfig, attention_call
 from .utils.testing import attention_tflops, time_fn
 
-# Block configs tuned on TPU v5e (see PROGRESS notes): large tiles amortize
-# grid-step overhead; VMEM raised via compiler params inside attention_call.
-DEFAULT_BLOCKS = (1024, 1024)
+from .core import _choose_blocks  # tuned tile heuristic (v5e-measured)
 
 
 def _prep(B, H, S, D, pv_dtype, key=0):
@@ -41,14 +39,17 @@ def _prep(B, H, S, D, pv_dtype, key=0):
 
 
 def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
-                 blocks=DEFAULT_BLOCKS, quantized=True, reps=10,
+                 blocks=None, quantized=True, reps=10,
                  interpret: Optional[bool] = None):
     """Time one kernel config; returns (seconds, tflops)."""
     if interpret is None:
         interpret = default_interpret()
-    bq, bk = blocks
-    bq, bk = min(bq, S), min(bk, S)
-    cfg = AttnConfig(block_q=bq, block_k=bk, causal=causal,
+    if blocks is None:
+        bq, bk, bki = _choose_blocks(S, S, quantized)
+    else:
+        bq, bk = (min(b, S) for b in blocks[:2])
+        bki = blocks[2] if len(blocks) > 2 else bk
+    cfg = AttnConfig(block_q=bq, block_k=bk, block_k_inner=bki, causal=causal,
                      quantized=quantized, pv_dtype=pv_dtype, layout="HND",
                      kv_len=S, out_dtype=jnp.bfloat16)
     if quantized:
@@ -60,9 +61,9 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
         q = jax.random.normal(ks_[0], (B, H, S, D), jnp.bfloat16)
         k = jax.random.normal(ks_[1], (B, H, S, D), jnp.bfloat16)
         v = jax.random.normal(ks_[2], (B, H, S, D), jnp.bfloat16)
-        cfg = AttnConfig(block_q=bq, block_k=bk, causal=causal, quantized=False,
-                         layout="HND", sm_scale=D ** -0.5, kv_len=S,
-                         out_dtype=jnp.bfloat16)
+        cfg = AttnConfig(block_q=bq, block_k=bk, block_k_inner=bki,
+                         causal=causal, quantized=False, layout="HND",
+                         sm_scale=D ** -0.5, kv_len=S, out_dtype=jnp.bfloat16)
         fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
         args = (q, k, v)
     t = time_fn(fn, *args, reps=reps)

@@ -34,6 +34,32 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
+def _pick_block(cap: int, seq: int) -> int:
+    """Largest power-of-two multiple of 128 that divides ``seq``, <= cap."""
+    cand = cap
+    while cand > 128:
+        if seq % cand == 0:
+            return cand
+        cand //= 2
+    return 128
+
+
+def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool):
+    """Tile-size heuristic measured on v5e (see PROGRESS notes): grid-step
+    overhead dominates below ~512-wide tiles; the int8 MXU advantage needs
+    wide QK tiles, while the bf16 baseline gains most from the inner sub-tile
+    interleave.  Returns (block_q, block_k, block_k_inner)."""
+    if quantized:
+        bq = _pick_block(2048, sq_pad)
+        bk = _pick_block(1024, sk_pad)
+        bki = bk
+    else:
+        bq = _pick_block(1024, sq_pad)
+        bk = _pick_block(2048, sk_pad)
+        bki = min(256, bk)
+    return bq, bk, bki
+
+
 def _finish_lse(lse_b2, lse_correction, sq):
     """base-2 kernel lse -> natural-log lse (+ smooth_k repair), sliced to
     the true query length — mirrors `core.py:328-331`."""
@@ -55,11 +81,13 @@ def _sage_attention(
     qk_quant_gran: str = "per_thread",
     pv_dtype: str = "bf16",
     return_lse: bool = False,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = 0,
+    block_k: int = 0,
+    attn_mask=None,
     interpret: Optional[bool] = None,
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
+    ``block_q``/``block_k`` of 0 select tuned sizes for the shape.
 
     Internally everything runs in HND; NHD inputs are transposed once at
     entry and the output transposed back (TPU block tiling cannot index
@@ -94,8 +122,12 @@ def _sage_attention(
     v, _ = pad_head_dim(v, HND_LAYOUT)
     if km is not None:
         km = pad_axis(km, 3, D)
-    Sq_pad = round_up(Sq, block_q)
-    Sk_pad = round_up(Sk, block_k)
+    Sq_pad = round_up(Sq, block_q or 128)
+    Sk_pad = round_up(Sk, block_k or 128)
+    if block_q and block_k:
+        bq, bk, bki = block_q, block_k, block_k
+    else:
+        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=True)
     q = pad_axis(q, 2, Sq_pad)
     k = pad_axis(k, 2, Sk_pad)
     v = pad_axis(v, 2, Sk_pad)
@@ -120,13 +152,29 @@ def _sage_attention(
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
+    masked = "none"
+    mask_in = None
+    if attn_mask is not None:
+        # bool: keep-where-true; float: additive bias (natural-log units) —
+        # semantics of the reference triton path (`core.py:160-171`,
+        # `attn_qk_int8_per_block.py:33-39`).  Shape [B, 1|Hq, Sq, Sk].
+        if attn_mask.ndim != 4:
+            raise ValueError("attn_mask must be [B, 1|H, Sq, Sk]")
+        is_bool = attn_mask.dtype == jnp.bool_
+        masked = "bool" if is_bool else "float"
+        mask_in = pad_axis(pad_axis(
+            attn_mask.astype(jnp.int8 if is_bool else jnp.float32),
+            2, Sq_pad), 3, Sk_pad)
+
     cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
-        pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
+        block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
+        quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
         out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
+        masked=masked,
     )
     out, lse_b2 = attention_call(
-        q_i8, k_i8, v_in, q_scale, k_scale, v_scale, cfg=cfg, interpret=interpret)
+        q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
+        cfg=cfg, interpret=interpret)
 
     # smooth_v repair: o += vm (valid because sum(p)/l == 1 per row).
     if vm is not None:
@@ -197,6 +245,16 @@ def _dispatch_diff(q, k, v, **opts):
     return _diff_sage_factory(tuple(sorted(opts.items())))(q, k, v)
 
 
+def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
+    """Public entry routing: the plain path for lse/mask consumers (ring
+    attention, masked models — inference-only), the custom-vjp wrapper
+    otherwise so the op is differentiable (training / __graft_entry__)."""
+    if return_lse or attn_mask is not None:
+        return _sage_attention(q, k, v, return_lse=return_lse,
+                               attn_mask=attn_mask, **opts)
+    return _dispatch_diff(q, k, v, **opts)
+
+
 def sageattn(
     q,
     k,
@@ -217,13 +275,14 @@ def sageattn(
     ``return_lse`` returns the natural-log row logsumexp for ring attention.
     """
     caps = dispatch.detect()
-    return _sage_attention(
+    return _route(
         q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
         sm_scale=sm_scale, return_lse=return_lse,
         qk_quant_gran=kwargs.pop("qk_quant_gran", "per_thread"),
         pv_dtype=kwargs.pop("pv_dtype", caps.default_pv_dtype),
         smooth_k=kwargs.pop("smooth_k", True),
         smooth_v=kwargs.pop("smooth_v", True),
+        attn_mask=kwargs.pop("attn_mask", None),
         interpret=kwargs.pop("interpret", None),
     )
 
@@ -235,16 +294,20 @@ def sageattn_qk_int8_pv_bf16(
     qk_quant_gran: str = "per_thread",
     sm_scale: Optional[float] = None,
     smooth_k: bool = True,
+    attn_mask=None,
     return_lse: bool = False,
     **kwargs: Any,
 ):
     """INT8 QK^T + bf16 PV with fp32 accumulation — the TPU analogue of the
     reference's most robust mode, ``sageattn_qk_int8_pv_fp16_cuda`` with
-    ``pv_accum_dtype="fp32"`` (`core.py:451-633`)."""
-    return _sage_attention(
+    ``pv_accum_dtype="fp32"`` (`core.py:451-633`).  ``attn_mask`` (bool keep
+    mask or additive float bias, [B, 1|H, Sq, Sk]) matches the triton path
+    (`core.py:160-171`)."""
+    return _route(
         q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
         sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=False,
         qk_quant_gran=qk_quant_gran, pv_dtype="bf16", return_lse=return_lse,
+        attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
     )
 
@@ -257,6 +320,7 @@ def sageattn_qk_int8_pv_int8(
     sm_scale: Optional[float] = None,
     smooth_k: bool = True,
     smooth_v: bool = True,
+    attn_mask=None,
     return_lse: bool = False,
     **kwargs: Any,
 ):
@@ -266,10 +330,11 @@ def sageattn_qk_int8_pv_int8(
     path, `core.py:636-826`); accuracy is maintained the same way — fine
     QK scale granularity + smoothing + exact normalization by the quantized
     P rowsum."""
-    return _sage_attention(
+    return _route(
         q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
         sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=smooth_v,
         qk_quant_gran=qk_quant_gran, pv_dtype="int8", return_lse=return_lse,
+        attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
     )
 
@@ -282,6 +347,7 @@ def sageattn_qk_int8_pv_fp8(
     sm_scale: Optional[float] = None,
     smooth_k: bool = True,
     smooth_v: bool = True,
+    attn_mask=None,
     return_lse: bool = False,
     **kwargs: Any,
 ):
@@ -289,10 +355,11 @@ def sageattn_qk_int8_pv_fp8(
     equivalent (`core.py:636-826`; offset math `attn_utils.cuh:30,377-389`).
     Fast only on TPU generations with a native fp8 MXU (see dispatch.py);
     numerically valid everywhere."""
-    return _sage_attention(
+    return _route(
         q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
         sm_scale=sm_scale, smooth_k=smooth_k, smooth_v=smooth_v,
         qk_quant_gran=qk_quant_gran, pv_dtype="fp8", return_lse=return_lse,
+        attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
     )
 
@@ -306,7 +373,6 @@ def _alias(fn, note):
     def wrapper(*args, **kwargs):
         kwargs.pop("pv_accum_dtype", None)       # accumulation is always fp32 on TPU
         kwargs.pop("quantization_backend", None)  # single backend on TPU
-        kwargs.pop("attn_mask", None)
         return fn(*args, **kwargs)
     wrapper.__doc__ = note + "\n\n" + (fn.__doc__ or "")
     return wrapper
@@ -332,8 +398,8 @@ def flash_attention(
     is_causal: bool = False,
     sm_scale: Optional[float] = None,
     return_lse: bool = False,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Unquantized bf16 FlashAttention baseline (Pallas).
@@ -358,15 +424,20 @@ def flash_attention(
     q, D = pad_head_dim(q, HND_LAYOUT)
     k, _ = pad_head_dim(k, HND_LAYOUT)
     v, _ = pad_head_dim(v, HND_LAYOUT)
-    Sq_pad = round_up(Sq, block_q)
-    Sk_pad = round_up(Sk, block_k)
+    Sq_pad = round_up(Sq, block_q or 128)
+    Sk_pad = round_up(Sk, block_k or 128)
+    if block_q and block_k:
+        bq, bk, bki = block_q, block_k, block_k
+    else:
+        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=False)
     q = pad_axis(q, 2, Sq_pad).astype(jnp.bfloat16)
     k = pad_axis(k, 2, Sk_pad).astype(jnp.bfloat16)
     v = pad_axis(v, 2, Sk_pad).astype(jnp.bfloat16)
 
     cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, causal=is_causal, quantized=False,
-        layout="HND", sm_scale=sm_scale, kv_len=Sk, out_dtype=jnp.bfloat16,
+        block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
+        quantized=False, layout="HND", sm_scale=sm_scale, kv_len=Sk,
+        out_dtype=jnp.bfloat16,
     )
     out, lse_b2 = attention_call(q, k, v, cfg=cfg, interpret=interpret)
     out = out[:, :, :Sq, :D_og]

@@ -42,11 +42,12 @@ def sage_dot_product_attention(
     """``jax.nn.dot_product_attention``-compatible SageAttention.
 
     Inputs are NHD ([batch, seq, heads, head_dim]) like jax.nn's contract.
-    ``bias``/``mask``/windowing fall back to the exact jax.nn implementation
-    (the reference likewise skips masked models — hunyuan example is
-    disabled for that reason, `example/hunyuan_infer.py:6-12`).
+    ``mask`` (bool keep-mask) and ``bias`` (additive) map onto the kernel's
+    attn_mask path; unsupported combinations (both at once, seq-lengths,
+    local windowing) fall back to the exact jax.nn implementation — the
+    reference similarly limits masked models (`example/hunyuan_infer.py:6-12`).
     """
-    unsupported = (bias is not None or mask is not None
+    unsupported = ((bias is not None and mask is not None)
                    or query_seq_lengths is not None
                    or key_value_seq_lengths is not None
                    or local_window_size is not None)
@@ -56,8 +57,16 @@ def sage_dot_product_attention(
             is_causal=is_causal, query_seq_lengths=query_seq_lengths,
             key_value_seq_lengths=key_value_seq_lengths,
             local_window_size=local_window_size)
+    attn_mask = None
+    if mask is not None or bias is not None:
+        m = mask if mask is not None else bias
+        B, Sq = query.shape[0], query.shape[1]
+        Sk = key.shape[1]
+        attn_mask = jnp.broadcast_to(
+            m, (B, m.shape[1] if m.ndim == 4 and m.shape[1] != 1 else 1, Sq, Sk))
     return sageattn(query, key, value, tensor_layout="NHD",
-                    is_causal=is_causal, sm_scale=scale, **kwargs)
+                    is_causal=is_causal, sm_scale=scale, attn_mask=attn_mask,
+                    **kwargs)
 
 
 @contextlib.contextmanager

@@ -59,13 +59,19 @@ M_CLAMP = -1e20   # lower clamp for running max => exp2(MASK_NEG - m) == 0
 # log2(448): shifts p into (0, 448] to fill the e4m3 range; cancels in the
 # normalization, subtracted from lse (`attn_utils.cuh:30,377-389`).
 FP8_OFFSET_LOG2 = 8.807354922057604
+# log2(127): folds the int8 P scale into the exp2 bias (one fewer VPU pass)
+INT8_P_OFFSET_LOG2 = 6.988684686772166
 LOG2E = 1.4426950408889634
 
 
 @dataclasses.dataclass(frozen=True)
 class AttnConfig:
     block_q: int = 128
-    block_k: int = 128
+    block_k: int = 128          # outer/major KV tile (grid + DMA granularity)
+    block_k_inner: int = 0      # inner KV sub-tile (0 => block_k); the
+    # unrolled sub-tile loop gives Mosaic independent MXU/VPU work to
+    # interleave — the TPU analogue of the CUDA kernel's cp.async
+    # double-buffered software pipeline (`qk_int_sv_f16_cuda_sm80.cu:263-355`)
     causal: bool = False
     quantized: bool = True
     pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
@@ -74,6 +80,13 @@ class AttnConfig:
     kv_len: int = 0        # true kv length (pre-padding)
     out_dtype: jnp.dtype = jnp.bfloat16
     segmented: bool = False  # varlen segment-id masking
+    masked: str = "none"     # "none" | "bool" | "float" — user attn_mask
+    # (bool: keep where true; float: additive bias in natural-log units,
+    # like the reference triton path `attn_qk_int8_per_block.py:33-39`)
+
+    @property
+    def bki(self) -> int:
+        return self.block_k_inner or self.block_k
 
 
 def _bcast_cols(x128, n):
@@ -103,6 +116,7 @@ def _attn_kernel(
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
+    mask_ref = next(it) if cfg.masked != "none" else None
     o_ref = next(it)
     lse_ref = next(it)
     m_scr = next(it)
@@ -111,7 +125,8 @@ def _attn_kernel(
 
     i = pl.program_id(2)
     j = pl.program_id(3)
-    BQ, BK = cfg.block_q, cfg.block_k
+    BQ, BK, BKI = cfg.block_q, cfg.block_k, cfg.bki
+    n_inner = BK // BKI
 
     @pl.when(j == 0)
     def _init():
@@ -122,82 +137,99 @@ def _attn_kernel(
     if cfg.causal:
         q_start = offs_ref[0]
         kv_start = offs_ref[1]
-        # block participates iff its first kv position <= last q position
+        # major tile participates iff its first kv position <= last q position
         run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
     else:
+        q_start = kv_start = None
         run = True
 
     @pl.when(run)
     def _body():
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
         D = q.shape[-1]
 
-        if cfg.quantized:
-            s32 = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-            )
-            qs = qs_ref[0, 0]          # (BQ, 1)
-            ks = ks_ref[0, 0]          # (1, BK)
-            s = s32.astype(jnp.float32) * qs * ks  # base-2 logits
-        else:
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            s = s * (cfg.sm_scale * LOG2E)
+        def sub_tile(t):
+            """One BKI-wide KV sub-tile; unrolled so consecutive sub-tiles'
+            independent MXU/VPU work interleaves in Mosaic's schedule."""
+            sl = slice(t * BKI, (t + 1) * BKI)
+            k = k_ref[0, 0, sl, :]
+            v = v_ref[0, 0, sl, :]
+            col0 = j * BK + t * BKI
 
-        need_tail_mask = (cfg.kv_len % BK) != 0
-        if need_tail_mask:
-            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
-            s = jnp.where(cols < cfg.kv_len, s, MASK_NEG)
-        if cfg.causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ + q_start
-            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK + kv_start
-            s = jnp.where(cols <= rows, s, MASK_NEG)
-        if cfg.segmented:
-            q_seg = q_seg_ref[0]       # (BQ, 1) int32
-            kv_seg = kv_seg_ref[0]     # (1, BK) int32
-            s = jnp.where(q_seg == kv_seg, s, MASK_NEG)
+            if cfg.quantized:
+                s32 = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                qs = qs_ref[0, 0]                       # (BQ, 1)
+                ks = ks_ref[0, 0, :, sl]                # (1, BKI)
+                s = s32.astype(jnp.float32) * qs * ks   # base-2 logits
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s * (cfg.sm_scale * LOG2E)
 
-        m_prev = m_scr[...]            # (BQ, 128)
-        l_prev = l_scr[...]
-        m_cur = jnp.max(s, axis=1, keepdims=True)      # (BQ, 1)
-        m_next = jnp.maximum(jnp.maximum(m_prev, m_cur), M_CLAMP)
-        alpha = jnp.exp2(m_prev - m_next)              # (BQ, 128)
+            if (cfg.kv_len % BK) != 0:
+                cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1) + col0
+                s = jnp.where(cols < cfg.kv_len, s, MASK_NEG)
+            if cfg.causal:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 0)
+                        + i * BQ + q_start)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1)
+                        + col0 + kv_start)
+                s = jnp.where(cols <= rows, s, MASK_NEG)
+            if cfg.segmented:
+                q_seg = q_seg_ref[0]                    # (BQ, 1) int32
+                kv_seg = kv_seg_ref[0, :, sl]           # (1, BKI) int32
+                s = jnp.where(q_seg == kv_seg, s, MASK_NEG)
+            if cfg.masked == "bool":
+                s = jnp.where(mask_ref[0, 0, :, sl] != 0, s, MASK_NEG)
+            elif cfg.masked == "float":
+                # additive bias given in natural-log units -> base-2 domain
+                s = s + mask_ref[0, 0, :, sl].astype(jnp.float32) * LOG2E
 
-        off = FP8_OFFSET_LOG2 if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0
-        p = jnp.exp2(s - _bcast_cols(m_next, BK) + off)  # (BQ, BK)
+            m_prev = m_scr[...]                         # (BQ, 128)
+            l_prev = l_scr[...]
+            m_cur = jnp.max(s, axis=1, keepdims=True)   # (BQ, 1)
+            m_next = jnp.maximum(jnp.maximum(m_prev, m_cur), M_CLAMP)
+            alpha = jnp.exp2(m_prev - m_next)           # (BQ, 128)
 
-        v = v_ref[0, 0]
-        if not cfg.quantized or cfg.pv_dtype == "bf16":
-            l_cur = jnp.sum(p, axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), v,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-        elif cfg.pv_dtype == "int8":
-            # p in (0,1]: quantize with the static scale 127 (round-to-nearest);
-            # l sums the *quantized* p so normalization cancels rounding error
-            # exactly, as the reference does for fp8 (rowsum of quantized P,
-            # `mma.cuh:685-721`).  1/127 and per-channel v_scale fold into the
-            # epilogue.
-            p_q = jnp.rint(p * 127.0)
-            l_cur = jnp.sum(p_q, axis=1, keepdims=True) * (1.0 / 127.0)
-            pv = jax.lax.dot_general(
-                p_q.astype(jnp.int8), v,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
-            ).astype(jnp.float32)
-        else:  # fp8
-            p_q = p.astype(jnp.float8_e4m3fn)
-            l_cur = jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
-            pv = jax.lax.dot_general(
-                p_q, v,
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
+            if not cfg.quantized or cfg.pv_dtype == "bf16":
+                p = jnp.exp2(s - _bcast_cols(m_next, BKI))
+                l_cur = jnp.sum(p, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            elif cfg.pv_dtype == "int8":
+                # the *127 P scale is folded into the exp2 bias; l sums the
+                # *quantized* P so normalization cancels rounding exactly, as
+                # the reference's fp8 rowsum does (`mma.cuh:685-721`); 1/127
+                # and per-channel v_scale fold into the epilogue.
+                p_q = jnp.rint(jnp.exp2(s - _bcast_cols(m_next, BKI)
+                                        + INT8_P_OFFSET_LOG2))
+                l_cur = jnp.sum(p_q, axis=1, keepdims=True) * (1.0 / 127.0)
+                pv = jax.lax.dot_general(
+                    p_q.astype(jnp.int8), v,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+            else:  # fp8 with exp-offset filling the e4m3 range
+                p_q = jnp.exp2(s - _bcast_cols(m_next, BKI) + FP8_OFFSET_LOG2
+                               ).astype(jnp.float8_e4m3fn)
+                l_cur = jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p_q, v,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
-        m_scr[...] = m_next
-        l_scr[...] = alpha * l_prev + l_cur
-        acc_scr[...] = acc_scr[...] * _bcast_cols(alpha, D) + pv
+            m_scr[...] = m_next
+            l_scr[...] = alpha * l_prev + l_cur
+            acc_scr[...] = acc_scr[...] * _bcast_cols(alpha, D) + pv
+
+        for t in range(n_inner):
+            if cfg.causal and n_inner > 1:
+                sub_run = (j * BK + t * BKI + kv_start) <= (i * BQ + q_start + BQ - 1)
+                pl.when(sub_run)(lambda t=t: sub_tile(t))
+            else:
+                sub_tile(t)
 
     @pl.when(j == n_kv - 1)
     def _epilogue():
@@ -249,6 +281,7 @@ def attention_call(
     offsets=None,   # (2,) int32 [q_start, kv_start] (causal only)
     q_segments=None,   # [B, Sq, 1] int32 (varlen only)
     kv_segments=None,  # [B, 1, Sk] int32 (varlen only)
+    attn_mask=None,    # [B, Hm, Sq, Sk] int8 (bool) or f32 (additive bias)
     *,
     cfg: AttnConfig,
     interpret: bool = False,
@@ -264,6 +297,7 @@ def attention_call(
     _, Hk, Sk, _ = k.shape
     BQ, BK = cfg.block_q, cfg.block_k
     assert Sq % BQ == 0 and Sk % BK == 0, (Sq, Sk, BQ, BK)
+    assert BK % cfg.bki == 0, (BK, cfg.bki)
     assert Hq % Hk == 0
     n_q, n_kv = Sq // BQ, Sk // BK
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
@@ -289,6 +323,12 @@ def attention_call(
     if cfg.segmented:
         in_specs += [qseg_spec, kseg_spec]
         inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]
+    if cfg.masked != "none":
+        Hm = attn_mask.shape[1]  # 1 (broadcast over heads) or Hq
+        in_specs.append(pl.BlockSpec(
+            (1, 1, BQ, BK),
+            lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, j)))
+        inputs.append(attn_mask)
 
     out_shape_o = jax.ShapeDtypeStruct((B, Hq, Sq, D), cfg.out_dtype)
     out_shapes = (out_shape_o, jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32))
@@ -309,6 +349,9 @@ def attention_call(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            # v5e has 128 MB VMEM; large tiles need more than the 16 MB
+            # default scoped allowance.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=q.size + k.size + v.size + out_shape_o.size,

@@ -36,7 +36,7 @@ def _ulysses_body(q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran,
                                   tiled=True)
 
     qg, kg, vg = scatter_heads(q), scatter_heads(k), scatter_heads(v)
-    out = core_api._sage_attention(
+    out = core_api._route(
         qg, kg, vg, tensor_layout="HND", is_causal=is_causal,
         sm_scale=sm_scale, qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
         interpret=interpret)

@@ -1,0 +1,23 @@
+"""Build the native host-side extension:
+
+    python setup_native.py build_ext --inplace
+
+Produces `_sageattn_native.*.so` at the repo root (the role the reference's
+`setup.py` nvcc build plays for its CUDA extensions — `setup.py:174-223`;
+here the device kernels are Pallas, so only host-side helpers are native).
+"""
+
+import numpy
+from setuptools import Extension, setup
+
+setup(
+    name="sageattn-native",
+    ext_modules=[
+        Extension(
+            "_sageattn_native",
+            sources=["csrc/varlen_pack.cpp"],
+            include_dirs=[numpy.get_include()],
+            extra_compile_args=["-O3", "-std=c++17"],
+        )
+    ],
+)

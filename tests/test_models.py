@@ -1,0 +1,80 @@
+"""End-to-end model tests: DiT with SageAttention vs exact attention
+(SURVEY.md §4: 'small DiT denoising loop, cosine-sim of final latents').
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sageattention_tpu.models import (
+    DiTConfig, make_dit, example_inputs, diffusion_loss,
+    sage_dot_product_attention, patch_jax_nn_attention)
+from sageattention_tpu.utils.testing import calc_diff
+
+CFG = DiTConfig(hidden=128, heads=4, depth=2, frames=2, height=8, width=8,
+                text_len=32, text_dim=64)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    latents, text, t = example_inputs(CFG)
+    ref_model = make_dit(CFG, attn_fn=None)
+    params = ref_model.init(jax.random.PRNGKey(0), latents, text, t)
+    return params, latents, text, t
+
+
+class TestDiT:
+    def test_forward_shapes(self, setup):
+        params, latents, text, t = setup
+        out = make_dit(CFG).apply(params, latents, text, t)
+        assert out.shape == latents.shape
+
+    def test_sage_attention_parity(self, setup):
+        """Forward pass with quantized attention ~= exact attention — the
+        quantitative version of the reference's lossless-video check."""
+        params, latents, text, t = setup
+        ref = make_dit(CFG, attn_fn=None).apply(params, latents, text, t)
+        sage = make_dit(CFG, attn_fn=sage_dot_product_attention).apply(
+            params, latents, text, t)
+        assert calc_diff(sage, ref) < 2e-3
+
+    def test_denoising_loop_parity(self, setup):
+        params, latents, text, _ = setup
+
+        def denoise(model, x):
+            def step(i, x):
+                t = jnp.full((x.shape[0],), 900 - i * 200, jnp.int32)
+                eps = model.apply(params, x, text, t)
+                return x - 0.2 * eps.astype(x.dtype)
+            return jax.lax.fori_loop(0, 4, step, x)
+
+        ref = denoise(make_dit(CFG), latents)
+        sage = denoise(make_dit(CFG, attn_fn=sage_dot_product_attention), latents)
+        assert calc_diff(sage, ref) < 5e-3  # error accumulates over steps
+
+    def test_training_step(self, setup):
+        """Loss + grads through the quantized attention custom_vjp."""
+        params, latents, text, t = setup
+        model = make_dit(CFG, attn_fn=sage_dot_product_attention)
+        loss, grads = jax.value_and_grad(
+            lambda p: diffusion_loss(model, p, (latents, text, t),
+                                     jax.random.PRNGKey(1)))(params)
+        assert np.isfinite(float(loss))
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
+        assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+class TestMonkeypatch:
+    def test_patch_context(self, setup):
+        """The F.scaled_dot_product_attention-monkeypatch analogue
+        (`example/cogvideox_infer.py:35`)."""
+        params, latents, text, t = setup
+        ref_model = make_dit(CFG, attn_fn=None)  # uses jax.nn.dot_product_attention
+        ref = ref_model.apply(params, latents, text, t)
+        with patch_jax_nn_attention():
+            patched = ref_model.apply(params, latents, text, t)
+        restored = ref_model.apply(params, latents, text, t)
+        assert calc_diff(patched, ref) < 2e-3     # sage != exact but close
+        assert calc_diff(restored, ref) < 1e-12   # patch fully reverted

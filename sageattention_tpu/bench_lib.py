@@ -39,7 +39,7 @@ def _prep(B, H, S, D, pv_dtype, key=0):
 
 
 def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
-                 blocks=None, quantized=True, reps=10,
+                 blocks=None, quantized=True, fold_k=True, reps=10,
                  interpret: Optional[bool] = None):
     """Time one kernel config; returns (seconds, tflops)."""
     if interpret is None:
@@ -51,11 +51,13 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
         bki = blocks[2] if len(blocks) > 2 else bk
     cfg = AttnConfig(block_q=bq, block_k=bk, block_k_inner=bki, causal=causal,
                      quantized=quantized, pv_dtype=pv_dtype, layout="HND",
-                     kv_len=S, out_dtype=jnp.bfloat16)
+                     kv_len=S, out_dtype=jnp.bfloat16,
+                     fold_k_scale=quantized and fold_k)
     if quantized:
         q, k, v, qs, ks, vs = _prep(B, H, S, D, pv_dtype)
         fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
-        args = (q, k, v, qs, ks) + ((vs,) if pv_dtype != "bf16" else ())
+        args = (q, k, v, qs, None if fold_k else ks) \
+            + ((vs,) if pv_dtype != "bf16" else ())
     else:
         ks_ = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks_[0], (B, H, S, D), jnp.bfloat16)

@@ -80,6 +80,10 @@ def _sage_attention(
     smooth_v: bool = True,
     qk_quant_gran: str = "per_thread",
     pv_dtype: str = "bf16",
+    k_scale_mode: str = "fine",  # "fine": reference granularities;
+    # "head": one K scale per head, folded into q_scale so the kernel pays a
+    # single per-row multiply (fastest; needs smooth_k — measured <2e-5
+    # accuracy cost once the K mean is removed, docs/PERF_NOTES.md)
     return_lse: bool = False,
     block_q: int = 0,
     block_k: int = 0,
@@ -133,10 +137,21 @@ def _sage_attention(
     v = pad_axis(v, 2, Sk_pad)
 
     # Quantize Q/K (sm_scale*log2e folded into Q).
+    if k_scale_mode == "head":
+        k_group = Sk_pad  # one scale per (batch, head)
+    elif k_scale_mode != "fine":
+        raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
     q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
         q, k, km, sm_scale, q_group, k_group, "HND")
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
-    k_scale = quant_ops.expand_scales_cols(k_s, k_group, Sk_pad)
+    if k_scale_mode == "head":
+        ks_head = k_s[:, :, 0]  # [B, Hk]
+        if Hq != Hk:
+            ks_head = jnp.repeat(ks_head, Hq // Hk, axis=1)
+        q_scale = q_scale * ks_head[:, :, None, None]
+        k_scale = None
+    else:
+        k_scale = quant_ops.expand_scales_cols(k_s, k_group, Sk_pad)
 
     # V per pv mode.
     v_scale = None
@@ -170,7 +185,7 @@ def _sage_attention(
         block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
         quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
         out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
-        masked=masked,
+        masked=masked, fold_k_scale=(k_scale_mode == "head"),
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
@@ -282,6 +297,7 @@ def sageattn(
         pv_dtype=kwargs.pop("pv_dtype", caps.default_pv_dtype),
         smooth_k=kwargs.pop("smooth_k", True),
         smooth_v=kwargs.pop("smooth_v", True),
+        k_scale_mode=kwargs.pop("k_scale_mode", "head"),
         attn_mask=kwargs.pop("attn_mask", None),
         interpret=kwargs.pop("interpret", None),
     )

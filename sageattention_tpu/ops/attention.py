@@ -80,6 +80,11 @@ class AttnConfig:
     kv_len: int = 0        # true kv length (pre-padding)
     out_dtype: jnp.dtype = jnp.bfloat16
     segmented: bool = False  # varlen segment-id masking
+    fold_k_scale: bool = False  # K quantized per-head; its scalar scale is
+    # pre-folded into q_scale on the host, so the kernel applies ONE per-row
+    # broadcast multiply instead of row+column multiplies (the binding VPU
+    # cost in the interleaved regime — see docs/PERF_NOTES.md).  Requires
+    # smooth_k for accuracy (measured: per-head K scales cost <2e-5 diff).
     masked: str = "none"     # "none" | "bool" | "float" — user attn_mask
     # (bool: keep where true; float: additive bias in natural-log units,
     # like the reference triton path `attn_qk_int8_per_block.py:33-39`)
@@ -112,7 +117,7 @@ def _attn_kernel(
     v_ref = next(it)
     if cfg.quantized:
         qs_ref = next(it)
-        ks_ref = next(it)
+        ks_ref = None if cfg.fold_k_scale else next(it)
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
@@ -161,8 +166,12 @@ def _attn_kernel(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 qs = qs_ref[0, 0]                       # (BQ, 1)
-                ks = ks_ref[0, 0, :, sl]                # (1, BKI)
-                s = s32.astype(jnp.float32) * qs * ks   # base-2 logits
+                if cfg.fold_k_scale:
+                    s = s32.astype(jnp.float32) * qs    # ks folded into qs
+                else:
+                    ks = ks_ref[0, 0, :, sl]            # (1, BKI)
+                    s = s32.astype(jnp.float32) * qs * ks
+                # s: base-2 logits
             else:
                 s = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
@@ -315,8 +324,11 @@ def attention_call(
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
     if cfg.quantized:
-        in_specs += [qs_spec, ks_spec]
-        inputs += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
+        in_specs.append(qs_spec)
+        inputs.append(q_scale.astype(jnp.float32))
+        if not cfg.fold_k_scale:
+            in_specs.append(ks_spec)
+            inputs.append(k_scale.astype(jnp.float32))
         if with_vscale:
             in_specs.append(vs_spec)
             inputs.append(v_scale.astype(jnp.float32))

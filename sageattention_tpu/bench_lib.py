@@ -39,20 +39,22 @@ def _prep(B, H, S, D, pv_dtype, key=0):
 
 
 def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
-                 blocks=None, quantized=True, fold_k=True, reps=10,
+                 blocks=None, quantized=True, fold_k=True,
+                 compute_dtype="native", reps=10,
                  interpret: Optional[bool] = None):
     """Time one kernel config; returns (seconds, tflops)."""
     if interpret is None:
         interpret = default_interpret()
     if blocks is None:
-        bq, bk, bki = _choose_blocks(S, S, quantized)
+        bq, bk, bki = _choose_blocks(S, S, quantized, compute_dtype)
     else:
         bq, bk = (min(b, S) for b in blocks[:2])
         bki = blocks[2] if len(blocks) > 2 else bk
     cfg = AttnConfig(block_q=bq, block_k=bk, block_k_inner=bki, causal=causal,
                      quantized=quantized, pv_dtype=pv_dtype, layout="HND",
                      kv_len=S, out_dtype=jnp.bfloat16,
-                     fold_k_scale=quantized and fold_k)
+                     fold_k_scale=quantized and fold_k,
+                     compute_dtype=compute_dtype)
     if quantized:
         q, k, v, qs, ks, vs = _prep(B, H, S, D, pv_dtype)
         fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
@@ -73,14 +75,19 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
 
 
 def run_headline(S=8192, D=128, B=4, H=32):
-    """The driver-facing headline: best quantized mode vs bf16 flash."""
+    """The driver-facing headline: the auto-dispatched sageattn kernel
+    (int8 storage, generation-optimal compute) vs the bf16 Pallas flash
+    baseline, reference methodology (kernel scope, TFLOPS formula)."""
     caps = detect()
-    pv = "int8" if not caps.has_fast_fp8 else "fp8"
+    pv = caps.default_pv_dtype
+    compute = caps.default_compute_dtype
     t_base, tf_base = bench_kernel(B, H, S, D, pv_dtype="bf16", quantized=False)
-    t_q, tf_q = bench_kernel(B, H, S, D, pv_dtype=pv, quantized=True)
+    t_q, tf_q = bench_kernel(B, H, S, D, pv_dtype=pv, quantized=True,
+                             compute_dtype=compute)
     speedup = t_base / t_q
     return {
-        "metric": f"sageattn_qk_int8_pv_{pv} TFLOPS (B{B} H{H} S{S} hd{D}, kernel scope)",
+        "metric": (f"sageattn qk-int8 pv-{pv} compute-{compute} TFLOPS "
+                   f"(B{B} H{H} S{S} hd{D}, kernel scope)"),
         "value": round(tf_q, 1),
         "unit": "TFLOPS",
         "vs_baseline": round(speedup, 3),
@@ -92,11 +99,14 @@ def run_headline(S=8192, D=128, B=4, H=32):
 def run_sweep(seqs=(1024, 2048, 4096, 8192, 16384, 32768), D=128, B=4, H=32,
               causal=False):
     """Reference-style sweep table (bench/bench_qk_int8_pv_*_cuda.py)."""
+    caps = detect()
     rows = []
     for S in seqs:
         t_b, tf_b = bench_kernel(B, H, S, D, causal=causal, pv_dtype="bf16",
                                  quantized=False)
-        t_q, tf_q = bench_kernel(B, H, S, D, causal=causal, pv_dtype="int8")
+        t_q, tf_q = bench_kernel(B, H, S, D, causal=causal,
+                                 pv_dtype=caps.default_pv_dtype,
+                                 compute_dtype=caps.default_compute_dtype)
         rows.append({"seq": S, "flash_tflops": round(tf_b, 1),
                      "sage_tflops": round(tf_q, 1),
                      "speedup": round(t_b / t_q, 3)})

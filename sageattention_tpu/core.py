@@ -44,15 +44,20 @@ def _pick_block(cap: int, seq: int) -> int:
     return 128
 
 
-def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool):
-    """Tile-size heuristic measured on v5e (see PROGRESS notes): grid-step
-    overhead dominates below ~512-wide tiles; the int8 MXU advantage needs
-    wide QK tiles, while the bf16 baseline gains most from the inner sub-tile
-    interleave.  Returns (block_q, block_k, block_k_inner)."""
-    if quantized:
+def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool,
+                   compute_dtype: str = "native"):
+    """Tile-size heuristic measured on v5e (docs/PERF_NOTES.md): grid-step
+    overhead dominates below ~512-wide tiles; bf16-compute paths gain most
+    from a small inner sub-tile (MXU/VPU interleave) while native-int8 dots
+    need wide flat tiles.  Returns (block_q, block_k, block_k_inner)."""
+    if quantized and compute_dtype == "native":
         bq = _pick_block(2048, sq_pad)
         bk = _pick_block(1024, sk_pad)
         bki = bk
+    elif quantized:  # int8 storage, bf16 compute
+        bq = _pick_block(2048, sq_pad)
+        bk = _pick_block(2048, sk_pad)
+        bki = min(256, bk)
     else:
         bq = _pick_block(1024, sq_pad)
         bk = _pick_block(2048, sk_pad)
@@ -80,6 +85,10 @@ def _sage_attention(
     smooth_v: bool = True,
     qk_quant_gran: str = "per_thread",
     pv_dtype: str = "bf16",
+    compute_dtype: str = "native",  # "native" (int8 MXU dots) or "bf16"
+    # (int8 storage, bf16 dots via in-kernel dequant — fastest on v5e,
+    # see ops/attention.py AttnConfig.compute_dtype); "bf16" forces
+    # k_scale_mode="head"
     k_scale_mode: str = "fine",  # "fine": reference granularities;
     # "head": one K scale per head, folded into q_scale so the kernel pays a
     # single per-row multiply (fastest; needs smooth_k — measured <2e-5
@@ -131,12 +140,15 @@ def _sage_attention(
     if block_q and block_k:
         bq, bk, bki = block_q, block_k, block_k
     else:
-        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=True)
+        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=True,
+                                     compute_dtype=compute_dtype)
     q = pad_axis(q, 2, Sq_pad)
     k = pad_axis(k, 2, Sk_pad)
     v = pad_axis(v, 2, Sk_pad)
 
     # Quantize Q/K (sm_scale*log2e folded into Q).
+    if compute_dtype == "bf16":
+        k_scale_mode = "head"
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
     elif k_scale_mode != "fine":
@@ -186,6 +198,7 @@ def _sage_attention(
         quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
         out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
         masked=masked, fold_k_scale=(k_scale_mode == "head"),
+        compute_dtype=compute_dtype,
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
@@ -295,6 +308,7 @@ def sageattn(
         sm_scale=sm_scale, return_lse=return_lse,
         qk_quant_gran=kwargs.pop("qk_quant_gran", "per_thread"),
         pv_dtype=kwargs.pop("pv_dtype", caps.default_pv_dtype),
+        compute_dtype=kwargs.pop("compute_dtype", caps.default_compute_dtype),
         smooth_k=kwargs.pop("smooth_k", True),
         smooth_v=kwargs.pop("smooth_v", True),
         k_scale_mode=kwargs.pop("k_scale_mode", "head"),

@@ -19,9 +19,14 @@ import jax
 @dataclasses.dataclass(frozen=True)
 class TpuCapabilities:
     generation: str        # "v4" | "v5e" | "v5p" | "v6e" | "cpu" | "unknown"
-    has_fast_int8: bool    # int8 MXU at 2x bf16 throughput
+    has_fast_int8: bool    # int8 MXU at 2x bf16 throughput *at attention tile shapes*
     has_fast_fp8: bool     # native fp8 e4m3 matmul
     default_pv_dtype: str  # pv dtype the auto path picks
+    # "bf16": int8-storage/bf16-compute dequant kernel (v5e: int8 MXU ops
+    # contend with the VPU, so bf16 compute + halved HBM traffic wins —
+    # measured 157 vs 147 TFLOPS, docs/PERF_NOTES.md); "native": real
+    # low-bit MXU dots (generations where they are genuinely faster)
+    default_compute_dtype: str = "native"
 
 
 @functools.lru_cache(maxsize=1)
@@ -35,7 +40,7 @@ def detect() -> TpuCapabilities:
     if platform != "tpu":
         # CPU (tests run on a virtual CPU mesh): kernels run in interpret
         # mode; all dtypes "work", none are fast.
-        return TpuCapabilities(platform, False, False, "bf16")
+        return TpuCapabilities(platform, False, False, "bf16", "native")
 
     if "v5 lite" in kind or "v5e" in kind:
         gen = "v5e"
@@ -49,11 +54,13 @@ def detect() -> TpuCapabilities:
         gen = "unknown"
 
     has_fp8 = gen in ("v6e",)
-    # fp8 PV (SageAttention2 mode) where the MXU supports it; otherwise the
-    # int8-PV mode is the fastest (per-channel scales + smoothing keep it
-    # within the accuracy bar — see tests/test_accuracy.py).
+    # fp8 PV (SageAttention2 mode) where the MXU supports it natively.
+    # On v5-class chips the int8-storage / bf16-compute mode is fastest
+    # (int8 kept for V storage with per-channel scales + smoothing).
     default_pv = "fp8" if has_fp8 else "int8"
-    return TpuCapabilities(gen, True, has_fp8, default_pv)
+    default_compute = "native" if has_fp8 else "bf16"
+    return TpuCapabilities(gen, gen not in ("v5e", "v5p", "v4"), has_fp8,
+                           default_pv, default_compute)
 
 
 def default_interpret() -> bool:

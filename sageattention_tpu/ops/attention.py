@@ -75,6 +75,14 @@ class AttnConfig:
     causal: bool = False
     quantized: bool = True
     pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
+    compute_dtype: str = "native"  # "native": dots run in the storage dtype
+    # (int8 QK^T on the MXU).  "bf16": int8 *storage* with bf16 *compute* —
+    # Q is dequantized once per Q-tile into a VMEM scratch, K/V tiles are
+    # converted on the fly (exact: int8 integers fit bf16's 8-bit mantissa)
+    # and all dots run in bf16.  On v5e this is the fastest mode: int8 MXU
+    # ops contend with the VPU and lose the interleaving win, while int8
+    # storage still halves HBM traffic (docs/PERF_NOTES.md).  Requires
+    # fold_k_scale.
     layout: str = "HND"
     sm_scale: float = 1.0  # only used when quantized=False (folded by quant otherwise)
     kv_len: int = 0        # true kv length (pre-padding)
@@ -127,6 +135,8 @@ def _attn_kernel(
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
+    dq_compute = cfg.quantized and cfg.compute_dtype == "bf16"
+    qbf_scr = next(it) if dq_compute else None
 
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -138,6 +148,11 @@ def _attn_kernel(
         m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        if dq_compute:
+            # dequantize Q once per Q-tile; int8*f32->bf16 keeps the int8
+            # payload exact (8-bit mantissa) with the folded row scale applied
+            qbf_scr[...] = (q_ref[0, 0].astype(jnp.float32)
+                            * qs_ref[0, 0]).astype(jnp.bfloat16)
 
     if cfg.causal:
         q_start = offs_ref[0]
@@ -150,7 +165,7 @@ def _attn_kernel(
 
     @pl.when(run)
     def _body():
-        q = q_ref[0, 0]
+        q = qbf_scr[...] if dq_compute else q_ref[0, 0]
         D = q.shape[-1]
 
         def sub_tile(t):
@@ -161,7 +176,12 @@ def _attn_kernel(
             v = v_ref[0, 0, sl, :]
             col0 = j * BK + t * BKI
 
-            if cfg.quantized:
+            if dq_compute:
+                # bf16 compute on int8 storage: k holds exact small integers
+                s = jax.lax.dot_general(
+                    q, k.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # base-2 logits
+            elif cfg.quantized:
                 s32 = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
@@ -203,9 +223,11 @@ def _attn_kernel(
             m_next = jnp.maximum(jnp.maximum(m_prev, m_cur), M_CLAMP)
             alpha = jnp.exp2(m_prev - m_next)           # (BQ, 128)
 
-            if not cfg.quantized or cfg.pv_dtype == "bf16":
+            if not cfg.quantized or cfg.pv_dtype == "bf16" or dq_compute:
                 p = jnp.exp2(s - _bcast_cols(m_next, BKI))
                 l_cur = jnp.sum(p, axis=1, keepdims=True)
+                if dq_compute and cfg.pv_dtype == "int8":
+                    v = v.astype(jnp.bfloat16)  # per-channel scale in epilogue
                 pv = jax.lax.dot_general(
                     p.astype(jnp.bfloat16), v,
                     (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -247,7 +269,10 @@ def _attn_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o = acc_scr[...] * _bcast_cols(1.0 / l_safe, D)
         if cfg.quantized and cfg.pv_dtype == "int8":
-            o = o * (vs_ref[0, 0] * (1.0 / 127.0))  # (1, D) per-channel
+            # per-channel V scale; the extra 1/127 is the static P scale of
+            # the int8-PV dot (absent when P stayed bf16 in dq_compute mode)
+            p_scale = 1.0 if dq_compute else (1.0 / 127.0)
+            o = o * (vs_ref[0, 0] * p_scale)  # (1, D)
         elif cfg.quantized and cfg.pv_dtype == "fp8":
             # fp8 exp-offset cancels in o (both acc and l carry 2^off)
             o = o * vs_ref[0, 0]
@@ -308,6 +333,9 @@ def attention_call(
     assert Sq % BQ == 0 and Sk % BK == 0, (Sq, Sk, BQ, BK)
     assert BK % cfg.bki == 0, (BK, cfg.bki)
     assert Hq % Hk == 0
+    if cfg.compute_dtype == "bf16" and cfg.quantized:
+        assert cfg.fold_k_scale, "bf16-compute mode needs head-folded K scales"
+        assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
     n_q, n_kv = Sq // BQ, Sk // BK
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
 
@@ -358,7 +386,8 @@ def attention_call(
             pltpu.VMEM((BQ, LANES), jnp.float32),
             pltpu.VMEM((BQ, LANES), jnp.float32),
             pltpu.VMEM((BQ, D), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((BQ, D), jnp.bfloat16)]
+             if (cfg.quantized and cfg.compute_dtype == "bf16") else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             # v5e has 128 MB VMEM; large tiles need more than the 16 MB

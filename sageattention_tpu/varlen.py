@@ -77,8 +77,12 @@ def sageattn_varlen(
     interpret = kwargs.pop("interpret", None)
     if interpret is None:
         interpret = dispatch.default_interpret()
+    caps = dispatch.detect()
     if pv_dtype is None:
-        pv_dtype = dispatch.detect().default_pv_dtype
+        pv_dtype = caps.default_pv_dtype
+    compute_dtype = kwargs.pop("compute_dtype", caps.default_compute_dtype)
+    if compute_dtype == "bf16" and pv_dtype == "fp8":
+        pv_dtype = "int8"
 
     block_q = block_k = 128
     Tq_pad = round_up(Tq, block_q)
@@ -108,10 +112,20 @@ def sageattn_varlen(
         km = jnp.sum(kh * valid, axis=2, keepdims=True) / jnp.maximum(Tk, 1)
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
+    fold_k = compute_dtype == "bf16"
+    if fold_k:
+        k_group = Tk_pad  # per-head K scale, folded into q_scale
     q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
         qb, kb, km, sm_scale, q_group, k_group, "HND")
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, Tq_pad)
-    k_scale = quant_ops.expand_scales_cols(k_s, k_group, Tk_pad)
+    if fold_k:
+        ks_head = k_s[:, :, 0]
+        if Hq != Hk:
+            ks_head = jnp.repeat(ks_head, Hq // Hk, axis=1)
+        q_scale = q_scale * ks_head[:, :, None, None]
+        k_scale = None
+    else:
+        k_scale = quant_ops.expand_scales_cols(k_s, k_group, Tk_pad)
 
     v_scale = None
     vm = None
@@ -130,6 +144,7 @@ def sageattn_varlen(
         block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
         pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
         out_dtype=q.dtype, segmented=True,
+        compute_dtype=compute_dtype, fold_k_scale=fold_k,
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale,

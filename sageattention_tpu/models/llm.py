@@ -1,0 +1,101 @@
+"""Llama-style decoder block — the LLM model family the reference validates
+on ("plug-and-play" into Llama-class models; accuracy tables in the papers
+cover LLM workloads alongside DiTs).
+
+Causal GQA attention with RoPE, SwiGLU MLP, RMSNorm; attention is the
+pluggable NHD callable so sageattn / ring / ulysses drive it unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    hidden: int = 512
+    heads: int = 8
+    kv_heads: int = 2        # GQA
+    depth: int = 4
+    vocab: int = 1024
+    mlp_ratio: float = 2.7
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+def rope(x, theta: float = 10000.0):
+    """Rotary embedding over NHD [B, S, H, D]."""
+    B, S, H, D = x.shape
+    half = D // 2
+    freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = jnp.arange(S, dtype=jnp.float32)[:, None] * freqs[None]
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        return (x * jax.lax.rsqrt(var + 1e-6)).astype(self.dtype) * scale.astype(self.dtype)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    attn_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B, S, _ = x.shape
+        h = RMSNorm(cfg.dtype)(x)
+        q = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype, name="wq")(h)
+        k = nn.Dense(cfg.kv_heads * cfg.head_dim, use_bias=False,
+                     dtype=cfg.dtype, name="wk")(h)
+        v = nn.Dense(cfg.kv_heads * cfg.head_dim, use_bias=False,
+                     dtype=cfg.dtype, name="wv")(h)
+        q = rope(q.reshape(B, S, cfg.heads, cfg.head_dim), cfg.rope_theta)
+        k = rope(k.reshape(B, S, cfg.kv_heads, cfg.head_dim), cfg.rope_theta)
+        v = v.reshape(B, S, cfg.kv_heads, cfg.head_dim)
+        attn = self.attn_fn or jax.nn.dot_product_attention
+        o = attn(q, k, v, is_causal=True)
+        o = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype,
+                     name="wo")(o.reshape(B, S, cfg.hidden).astype(cfg.dtype))
+        x = x + o
+        h = RMSNorm(cfg.dtype)(x)
+        inner = int(cfg.hidden * cfg.mlp_ratio)
+        gate = nn.Dense(inner, use_bias=False, dtype=cfg.dtype)(h)
+        up = nn.Dense(inner, use_bias=False, dtype=cfg.dtype)(h)
+        down = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype)(
+            nn.silu(gate) * up)
+        return x + down
+
+
+class LlamaLM(nn.Module):
+    cfg: LlamaConfig
+    attn_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, tokens):
+        cfg = self.cfg
+        x = nn.Embed(cfg.vocab, cfg.hidden, dtype=cfg.dtype)(tokens)
+        for i in range(cfg.depth):
+            x = LlamaBlock(cfg, self.attn_fn, name=f"layer_{i}")(x)
+        x = RMSNorm(cfg.dtype)(x)
+        return nn.Dense(cfg.vocab, use_bias=False, dtype=cfg.dtype,
+                        name="lm_head")(x)

@@ -73,6 +73,12 @@ class AttnConfig:
     # interleave — the TPU analogue of the CUDA kernel's cp.async
     # double-buffered software pipeline (`qk_int_sv_f16_cuda_sm80.cu:263-355`)
     causal: bool = False
+    # dynamic causal offsets (ring attention): q/kv start positions arrive
+    # as SMEM scalars.  When False (single-device causal), the diagonal is
+    # static: skip conditions use grid indices only and the K/V index maps
+    # CLAMP to the last needed block so skipped steps re-use the resident
+    # block instead of fetching one that will never be read.
+    causal_dynamic: bool = False
     quantized: bool = True
     pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
     compute_dtype: str = "native"  # "native": dots run in the storage dtype
@@ -119,7 +125,7 @@ def _attn_kernel(
     n_kv: int,
 ):
     it = iter(refs)
-    offs_ref = next(it) if cfg.causal else None
+    offs_ref = next(it) if (cfg.causal and cfg.causal_dynamic) else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -154,11 +160,14 @@ def _attn_kernel(
             qbf_scr[...] = (q_ref[0, 0].astype(jnp.float32)
                             * qs_ref[0, 0]).astype(jnp.bfloat16)
 
-    if cfg.causal:
+    if cfg.causal and cfg.causal_dynamic:
         q_start = offs_ref[0]
         kv_start = offs_ref[1]
         # major tile participates iff its first kv position <= last q position
         run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
+    elif cfg.causal:
+        q_start = kv_start = 0
+        run = (j * BK) <= (i * BQ + BQ - 1)
     else:
         q_start = kv_start = None
         run = True
@@ -289,13 +298,23 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented):
     BQ, BK = cfg.block_q, cfg.block_k
     G = Hq // Hk
 
+    if cfg.causal and not cfg.causal_dynamic:
+        # static diagonal: clamp the kv block index so above-diagonal grid
+        # steps re-use the resident block (no DMA for skipped tiles)
+        def kv_idx(i, j):
+            return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
+    else:
+        def kv_idx(i, j):
+            return j
+
     q_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
-    k_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, j, 0))
-    v_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, j, 0))
+    k_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, kv_idx(i, j), 0))
+    v_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, kv_idx(i, j), 0))
     o_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
 
     qs_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0))
-    ks_spec = pl.BlockSpec((1, 1, 1, BK), lambda b, h, i, j: (b, h // G, 0, j))
+    ks_spec = pl.BlockSpec((1, 1, 1, BK),
+                           lambda b, h, i, j: (b, h // G, 0, kv_idx(i, j)))
     vs_spec = pl.BlockSpec((1, 1, 1, D), lambda b, h, i, j: (b, h // G, 0, 0))
     # lse carries a trailing singleton dim so the (BQ, 1) block satisfies TPU
     # tiling rules; squeezed before returning.
@@ -344,9 +363,8 @@ def attention_call(
 
     in_specs = []
     inputs = []
-    if cfg.causal:
-        if offsets is None:
-            offsets = jnp.zeros((2,), jnp.int32)
+    if cfg.causal and cfg.causal_dynamic:
+        assert offsets is not None, "causal_dynamic needs (q_start, kv_start)"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(offsets.astype(jnp.int32))
     in_specs += [q_spec, k_spec, v_spec]

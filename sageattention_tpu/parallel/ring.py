@@ -77,7 +77,9 @@ def _ring_body(
         v_scale = vs[:, :, None, :]
 
     cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
+        block_q=block_q, block_k=block_k, causal=is_causal,
+        causal_dynamic=is_causal,  # offsets vary with the rotating source
+        quantized=True,
         pv_dtype=pv_dtype, layout="HND", kv_len=S, out_dtype=jnp.float32,
     )
     call = functools.partial(attention_call, cfg=cfg, interpret=interpret)

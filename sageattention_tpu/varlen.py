@@ -148,7 +148,6 @@ def sageattn_varlen(
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
-        offsets=jnp.zeros((2,), jnp.int32) if is_causal else None,
         q_segments=q_seg[None, :, None],
         kv_segments=kv_seg[None, None, :],
         cfg=cfg, interpret=interpret,

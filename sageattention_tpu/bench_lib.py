@@ -74,24 +74,48 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
     return t, attention_tflops(B, H, S, S, D, causal, t)
 
 
+def bench_stock_flash(B=4, H=32, S=8192, D=128, causal=False, reps=10):
+    """The canonical FP16/bf16 Pallas flash baseline:
+    jax.experimental.pallas.ops.tpu.flash_attention with block sizes tuned
+    as well as its API allows (defaults measure 17 TFLOPS at S=8192 —
+    grid-overhead-bound; see docs/PERF_NOTES.md)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, H, S, D), jnp.bfloat16) for kk in ks)
+    bs = BlockSizes(block_q=512, block_k_major=1024, block_k=512, block_b=1,
+                    block_q_major_dkv=512, block_k_major_dkv=512,
+                    block_k_dkv=512, block_q_dkv=512,
+                    block_k_major_dq=512, block_k_dq=512, block_q_dq=512)
+    fn = jax.jit(functools.partial(flash_attention, causal=causal,
+                                   sm_scale=D ** -0.5, block_sizes=bs))
+    t = time_fn(fn, q, k, v, reps=reps)
+    return t, attention_tflops(B, H, S, S, D, causal, t)
+
+
 def run_headline(S=8192, D=128, B=4, H=32):
-    """The driver-facing headline: the auto-dispatched sageattn kernel
-    (int8 storage, generation-optimal compute) vs the bf16 Pallas flash
-    baseline, reference methodology (kernel scope, TFLOPS formula)."""
+    """Driver-facing headline: the auto-dispatched sageattn kernel (int8
+    storage, generation-optimal compute) vs the FP16 Pallas flash baseline
+    (stock jax flash-attention, tuned — the TPU incumbent, playing the role
+    FlashAttention2 plays in the reference's headline).  Reference
+    methodology: kernel scope, TFLOPS = 4HBD*S^2/t."""
     caps = detect()
     pv = caps.default_pv_dtype
     compute = caps.default_compute_dtype
-    t_base, tf_base = bench_kernel(B, H, S, D, pv_dtype="bf16", quantized=False)
+    t_stock, tf_stock = bench_stock_flash(B, H, S, D)
+    t_ours, tf_ours = bench_kernel(B, H, S, D, pv_dtype="bf16", quantized=False)
     t_q, tf_q = bench_kernel(B, H, S, D, pv_dtype=pv, quantized=True,
                              compute_dtype=compute)
-    speedup = t_base / t_q
     return {
         "metric": (f"sageattn qk-int8 pv-{pv} compute-{compute} TFLOPS "
                    f"(B{B} H{H} S{S} hd{D}, kernel scope)"),
         "value": round(tf_q, 1),
         "unit": "TFLOPS",
-        "vs_baseline": round(speedup, 3),
-        "baseline_tflops": round(tf_base, 1),
+        "vs_baseline": round(t_stock / t_q, 3),
+        "baseline": "stock jax pallas flash_attention (tuned blocks)",
+        "baseline_tflops": round(tf_stock, 1),
+        "our_flash_tflops": round(tf_ours, 1),
+        "vs_our_flash": round(t_ours / t_q, 3),
         "device": caps.generation,
     }
 

@@ -146,15 +146,33 @@ def _sage_attention(
     k = pad_axis(k, 2, Sk_pad)
     v = pad_axis(v, 2, Sk_pad)
 
-    # Quantize Q/K (sm_scale*log2e folded into Q).
+    # Quantize Q/K (sm_scale*log2e folded into Q).  On TPU the fused Pallas
+    # quant kernels read bf16 once / write int8 once (ops/quant_pallas.py);
+    # the pure-jnp path serves interpret/CPU runs.
     if compute_dtype == "bf16":
         k_scale_mode = "head"
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
     elif k_scale_mode != "fine":
         raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
-    q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
-        q, k, km, sm_scale, q_group, k_group, "HND")
+
+    use_fused = not interpret
+    fold = sm_scale * LOG2E
+    if use_fused:
+        from .ops import quant_pallas as qp
+        q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
+        if k_scale_mode == "head":
+            kf = k.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
+                           axis=(2, 3), keepdims=True)
+            ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
+            k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
+            k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
+        else:
+            k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
+    else:
+        q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
+            q, k, km, sm_scale, q_group, k_group, "HND")
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
     if k_scale_mode == "head":
         ks_head = k_s[:, :, 0]  # [B, Hk]
@@ -170,6 +188,13 @@ def _sage_attention(
     vm = None
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
+    elif pv_dtype == "int8" and use_fused:
+        vf = v.astype(jnp.float32)
+        vm = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
+        vc = vf - vm if smooth_v else vf
+        amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)      # [B,Hk,1,D]
+        v_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
+        v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
     elif pv_dtype == "int8":
         v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=smooth_v)
         v_scale = vs[:, :, None, :]

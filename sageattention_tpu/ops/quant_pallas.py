@@ -1,0 +1,125 @@
+"""Fused Pallas quantization kernels.
+
+The pure-jnp quantizers in ops/quant.py are correct but XLA materializes
+several intermediate passes (mean-subtract, group amax, divide, round,
+cast) — measured ~18% of the attention pipeline at S=8192.  These kernels
+read the bf16 tensor once and write int8 (+ scales) once — the role the
+reference's fused CUDA quant kernels play (`csrc/fused/fused.cu:64-198`).
+
+Three scale modes cover the pipeline:
+  - "group":  per row-group scales computed in-kernel (Q, fine-grained K)
+  - "scalar": one precomputed scale per (B, H) (per-head K, folded mode)
+  - "channel": precomputed per-head-dim scales (per-channel V)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_S = 512  # rows per grid step (multiple of every supported group size)
+
+
+def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
+                  block_s: int):
+    it = iter(refs)
+    x_ref = next(it)
+    sub_ref = next(it) if has_sub else None
+    sin_ref = next(it) if mode in ("scalar", "channel") else None
+    out_ref = next(it)
+    sout_ref = next(it) if mode == "group" else None
+
+    x = x_ref[0, 0].astype(jnp.float32)            # (BLK, D)
+    if has_sub:
+        x = x - sub_ref[0, 0].astype(jnp.float32)  # (1, D) broadcast
+    if fold != 1.0:
+        x = x * fold
+
+    if mode == "group":
+        n_g = block_s // group
+        D = x.shape[-1]
+        # group view via leading-dim split only (no lane movement — Mosaic
+        # rejects shape casts that regroup lanes)
+        x3 = x.reshape(n_g, group, D)
+        g_amax = jnp.max(jnp.max(jnp.abs(x3), axis=2, keepdims=True),
+                         axis=1, keepdims=True)                   # (n_g,1,1)
+        scale = jnp.where(g_amax > 0, g_amax * (1.0 / 127.0), 1.0)
+        q = jnp.clip(jnp.rint(x3 * (1.0 / scale)), -127, 127)
+        out_ref[0, 0] = q.reshape(block_s, D).astype(jnp.int8)
+        sout_ref[0, 0] = scale[:, :, 0]
+        return
+    elif mode == "scalar":
+        q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
+    else:  # channel
+        q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
+    out_ref[0, 0] = q.astype(jnp.int8)
+
+
+def _call(x, sub, scale_in, mode, group, fold, block_s, interpret):
+    B, H, S, D = x.shape
+    assert S % block_s == 0 and (mode != "group" or block_s % group == 0)
+    n_blocks = S // block_s
+    n_g = block_s // group if mode == "group" else 1
+
+    in_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
+    inputs = [x]
+    if sub is not None:
+        in_specs.append(pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0)))
+        inputs.append(sub)
+    if mode == "scalar":
+        in_specs.append(pl.BlockSpec((1, 1, 1, 1), lambda b, h, i: (b, h, 0, 0)))
+        inputs.append(scale_in)
+    elif mode == "channel":
+        in_specs.append(pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0)))
+        inputs.append(scale_in)
+
+    out_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
+    if mode == "group":
+        out_specs.append(pl.BlockSpec((1, 1, n_g, 1), lambda b, h, i: (b, h, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S // group, 1), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_quant_kernel, mode=mode, group=group, fold=fold,
+                          has_sub=sub is not None, block_s=block_s),
+        grid=(B, H, n_blocks),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return res
+
+
+def _block_s_for(S: int, group: int) -> int:
+    bs = BLOCK_S
+    while bs > group and S % bs != 0:
+        bs //= 2
+    return bs if S % bs == 0 and bs % group == 0 else 0
+
+
+def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
+                                interpret: bool = False):
+    """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group])."""
+    bs = _block_s_for(x.shape[2], group)
+    assert bs, (x.shape, group)
+    out, scales = _call(x, sub, None, "group", group, fold, bs, interpret)
+    return out, scales[..., 0]
+
+
+def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,
+                            interpret: bool = False):
+    """Fused quant with a precomputed scale: ``scale`` is [B,H,1,1]
+    (per-head) or [B,H,1,D] (per-channel)."""
+    mode = "scalar" if scale.shape[-1] == 1 else "channel"
+    bs = _block_s_for(x.shape[2], 1)
+    assert bs, x.shape
+    return _call(x, sub, scale.astype(jnp.float32), mode, bs, fold, bs, interpret)

@@ -47,10 +47,14 @@ def _merge(o1, lse1, o2, lse2):
 
 def _ring_body(
     q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran, pv_dtype,
-    interpret, block_q, block_k, return_lse,
+    compute_dtype, interpret, block_q, block_k, return_lse,
 ):
     """Runs on each device inside shard_map.  q/k/v: local HND shards
-    [B, H, S_local, D]; head_dim and seq already padded/aligned by caller."""
+    [B, H, S_local, D]; head_dim and seq already padded/aligned by caller.
+
+    With compute_dtype="bf16" (the v5e flagship) K is quantized per head per
+    shard; the rotating chunk carries its scalar scale, which is folded into
+    the per-row Q scales each step before the kernel call."""
     B, H, S, D = q.shape
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -61,9 +65,21 @@ def _ring_body(
     km = jax.lax.pmean(km_local, axis_name)
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
-    q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(q, k, km, sm_scale, q_group, k_group, "HND")
+    fold_k = compute_dtype == "bf16"
+    if fold_k:
+        kf = k.astype(jnp.float32) - km
+        amax = jnp.max(jnp.abs(kf), axis=(2, 3), keepdims=True)
+        k_head_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,H,1,1]
+        k_i8 = jnp.clip(jnp.rint(kf / k_head_scale), -127, 127).astype(jnp.int8)
+        q_i8, q_s = quant_ops.quant_int8_groupwise(
+            q, q_group, fold=sm_scale * LOG2E)
+        k_scale = None
+    else:
+        q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
+            q, k, km, sm_scale, q_group, k_group, "HND")
+        k_scale = quant_ops.expand_scales_cols(k_s, k_group, S)
+        k_head_scale = jnp.ones((B, H, 1, 1), jnp.float32)
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, S)
-    k_scale = quant_ops.expand_scales_cols(k_s, k_group, S)
 
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
@@ -79,17 +95,19 @@ def _ring_body(
     cfg = AttnConfig(
         block_q=block_q, block_k=block_k, causal=is_causal,
         causal_dynamic=is_causal,  # offsets vary with the rotating source
-        quantized=True,
+        quantized=True, fold_k_scale=fold_k, compute_dtype=compute_dtype,
         pv_dtype=pv_dtype, layout="HND", kv_len=S, out_dtype=jnp.float32,
     )
     call = functools.partial(attention_call, cfg=cfg, interpret=interpret)
 
     def step_attend(state, kv_chunk, step):
         o_acc, lse_acc = state
-        k_i8_c, k_scale_c, v_c, v_scale_c, vm_c = kv_chunk
+        k_i8_c, k_scale_c, k_head_c, v_c, v_scale_c, vm_c = kv_chunk
         src = (idx - step) % n
         offsets = jnp.stack([idx * S, src * S]).astype(jnp.int32)
-        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, q_scale, k_scale_c,
+        qs_step = q_scale * k_head_c[:, :, :, 0:1] if fold_k else q_scale
+        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, qs_step,
+                           None if fold_k else k_scale_c,
                            v_scale_c if pv_dtype != "bf16" else None,
                            offsets=offsets if is_causal else None)
         lse_p = lse_b2 / LOG2E
@@ -102,7 +120,9 @@ def _ring_body(
 
     o_acc = jnp.zeros((B, H, S, D), jnp.float32)
     lse_acc = jnp.full((B, H, S), -jnp.inf, jnp.float32)
-    chunk = (k_i8, k_scale, v_in, v_scale, vm)
+    # int8 payloads + their scales travel together around the ring
+    chunk = (k_i8, k_scale if k_scale is not None else jnp.zeros((1,)),
+             k_head_scale, v_in, v_scale, vm)
     for step in range(n):
         o_acc, lse_acc = step_attend((o_acc, lse_acc), chunk, step)
         if step != n - 1:
@@ -127,6 +147,7 @@ def ring_sageattn(
     sm_scale: Optional[float] = None,
     qk_quant_gran: str = "per_thread",
     pv_dtype: Optional[str] = None,
+    compute_dtype: Optional[str] = None,
     return_lse: bool = False,
     block_q: int = 128,
     block_k: int = 128,
@@ -144,6 +165,10 @@ def ring_sageattn(
         sm_scale = 1.0 / (D ** 0.5)
     if pv_dtype is None:
         pv_dtype = detect().default_pv_dtype
+    if compute_dtype is None:
+        compute_dtype = detect().default_compute_dtype
+    if compute_dtype == "bf16" and pv_dtype == "fp8":
+        pv_dtype = "int8"
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
@@ -158,7 +183,8 @@ def ring_sageattn(
 
     body = functools.partial(
         _ring_body, axis_name=axis_name, is_causal=is_causal, sm_scale=sm_scale,
-        qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype, interpret=interpret,
+        qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
+        compute_dtype=compute_dtype, interpret=interpret,
         block_q=block_q, block_k=block_k, return_lse=return_lse)
 
     in_spec = P(None, None, axis_name, None)

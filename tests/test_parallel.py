@@ -72,3 +72,18 @@ class TestUlysses:
         uly = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
         single = sa.sageattn_qk_int8_pv_bf16(q, k, v)
         assert calc_diff(uly, single) < 1e-6
+
+
+class TestRingFlagship:
+    def test_dq_compute_mode(self, mesh4):
+        """int8-payload rotation with bf16 compute (per-chunk folded scales)."""
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
+                            compute_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_dq_compute_causal(self, mesh4):
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
+                            compute_dtype="bf16", is_causal=True)
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3

@@ -84,9 +84,11 @@ def sageattn_varlen(
     if compute_dtype == "bf16" and pv_dtype == "fp8":
         pv_dtype = "int8"
 
-    block_q = block_k = 128
-    Tq_pad = round_up(Tq, block_q)
-    Tk_pad = round_up(Tk, block_k)
+    from .core import _choose_blocks
+    Tq_pad = round_up(Tq, 128)
+    Tk_pad = round_up(Tk, 128)
+    block_q, block_k, block_k_inner = _choose_blocks(
+        Tq_pad, Tk_pad, quantized=True, compute_dtype=compute_dtype)
 
     # Pack as B=1 HND: [total, H, D] -> [1, H, total_pad, D].
     qb = jnp.swapaxes(pad_axis(q[None], 1, Tq_pad), 1, 2)
@@ -141,7 +143,8 @@ def sageattn_varlen(
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
     cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, causal=is_causal, quantized=True,
+        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
+        causal=is_causal, quantized=True,
         pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
         out_dtype=q.dtype, segmented=True,
         compute_dtype=compute_dtype, fold_k_scale=fold_k,

@@ -78,3 +78,17 @@ class TestMonkeypatch:
         restored = ref_model.apply(params, latents, text, t)
         assert calc_diff(patched, ref) < 2e-3     # sage != exact but close
         assert calc_diff(restored, ref) < 1e-12   # patch fully reverted
+
+
+class TestViT:
+    def test_vit_parity(self):
+        from sageattention_tpu.models.vit import ViTConfig, ViT
+        cfg = ViTConfig(image_size=32, patch=8, hidden=128, heads=4, depth=2,
+                        classes=10)
+        imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        ref_model = ViT(cfg)
+        params = ref_model.init(jax.random.PRNGKey(1), imgs)
+        ref = ref_model.apply(params, imgs)
+        sage = ViT(cfg, attn_fn=sage_dot_product_attention).apply(params, imgs)
+        assert sage.shape == (2, 10)
+        assert calc_diff(sage, ref) < 5e-3

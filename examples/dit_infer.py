@@ -43,7 +43,7 @@ def main():
     args = ap.parse_args()
 
     cfg = DiTConfig(hidden=512, heads=8, depth=args.depth,
-                    frames=4, height=32, width=32)
+                    frames=4, height=32, width=32, zero_init_gates=False)
     latents, text, t = example_inputs(cfg)
     ref_model = make_dit(cfg, attn_fn=None)  # jax.nn.dot_product_attention
     params = ref_model.init(jax.random.PRNGKey(0), latents, text, t)

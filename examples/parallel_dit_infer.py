@@ -45,7 +45,7 @@ def main():
     # text_len chosen so the joint sequence divides by sp * block (ring
     # sharding constraint; video tokens 4*16*16=1024 already divide).
     cfg = DiTConfig(hidden=256, heads=8, depth=2, frames=4, height=32, width=32,
-                    text_len=sp * 128)
+                    text_len=sp * 128, zero_init_gates=False)
     total_tokens = cfg.text_len + cfg.video_tokens
     assert total_tokens % (sp * 128) == 0, (
         f"joint sequence {total_tokens} must divide by sp*128={sp*128}")

@@ -55,7 +55,7 @@ def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool,
         bk = _pick_block(1024, sk_pad)
         bki = bk
     elif quantized:  # int8 storage, bf16 compute
-        bq = _pick_block(2048, sq_pad)
+        bq = _pick_block(4096, sq_pad)
         bk = _pick_block(2048, sk_pad)
         bki = min(256, bk)
     else:

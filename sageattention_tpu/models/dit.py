@@ -38,6 +38,11 @@ class DiTConfig:
     width: int = 32           # latent W
     mlp_ratio: float = 4.0
     dtype: Any = jnp.bfloat16
+    # adaLN-Zero initializes the modulation to zero so blocks start as the
+    # identity (correct for training).  Tests/examples that compare
+    # attention implementations must disable it — with zero gates an
+    # untrained DiT ignores attention entirely and any comparison is vacuous.
+    zero_init_gates: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -59,12 +64,15 @@ class AdaLNZero(nn.Module):
     """adaLN-Zero modulation: 6 params per block from the conditioning."""
     hidden: int
     dtype: Any
+    zero_init: bool = True
 
     @nn.compact
     def __call__(self, c):
         c = nn.silu(c)
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.normal(0.02))
         mods = nn.Dense(6 * self.hidden, dtype=self.dtype,
-                        kernel_init=nn.initializers.zeros)(c)
+                        kernel_init=init)(c)
         return jnp.split(mods[:, None, :], 6, axis=-1)
 
 
@@ -77,7 +85,10 @@ class JointBlock(nn.Module):
     def __call__(self, x, c):
         cfg = self.cfg
         shift1, scale1, gate1, shift2, scale2, gate2 = AdaLNZero(
-            cfg.hidden, cfg.dtype)(c)
+            cfg.hidden, cfg.dtype, cfg.zero_init_gates)(c)
+        if not cfg.zero_init_gates:
+            gate1 = 1.0 + gate1
+            gate2 = 1.0 + gate2
 
         h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=cfg.dtype)(x)
         h = h * (1 + scale1) + shift1

@@ -38,7 +38,7 @@ def capture_qkv(build_model, init_args):
 @pytest.fixture(scope="module")
 def dit_qkv():
     cfg = DiTConfig(hidden=128, heads=4, depth=1, frames=2, height=8, width=8,
-                    text_len=32, text_dim=64)
+                    text_len=32, text_dim=64, zero_init_gates=False)
     return capture_qkv(lambda attn: make_dit(cfg, attn), example_inputs(cfg))
 
 

@@ -13,7 +13,7 @@ from sageattention_tpu.models import (
 from sageattention_tpu.utils.testing import calc_diff
 
 CFG = DiTConfig(hidden=128, heads=4, depth=2, frames=2, height=8, width=8,
-                text_len=32, text_dim=64)
+                text_len=32, text_dim=64, zero_init_gates=False)
 
 
 @pytest.fixture(scope="module")

@@ -54,12 +54,13 @@ def main():
         ("sageattn (auto)", sage_dot_product_attention),
     ]:
         model = make_dit(cfg, attn_fn=attn)
+        import numpy as np
         f = jax.jit(lambda p, x, txt: denoise(model, p, x, txt, steps=args.steps))
         out = f(params, latents, text)
-        out.block_until_ready()
+        np.asarray(out.ravel()[:1])  # host sync (block_until_ready is not
+        # reliable through tunneled TPU platforms)
         t0 = time.perf_counter()
         out = f(params, latents, text)
-        import numpy as np
         np.asarray(out.ravel()[:1])
         dt = time.perf_counter() - t0
         runs[name] = (out, dt)

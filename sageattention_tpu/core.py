@@ -30,8 +30,6 @@ from .utils.layout import HND as HND_LAYOUT, get_layout, pad_axis, pad_head_dim,
 
 LOG2E = quant_ops.LOG2E
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
 
 
 def _pick_block(cap: int, seq: int) -> int:

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..utils.layout import get_layout
+
 
 LANES = 128
 MASK_NEG = -1e30  # added to masked scores (finite: avoids exp(-inf - -inf))

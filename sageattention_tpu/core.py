@@ -273,16 +273,19 @@ def _diff_sage_factory(opts_items):
         return o, (q, k, v, o, lse)
 
     def bwd(res, do):
-        from .ops.backward import attention_backward
+        from .ops.backward_pallas import attention_backward_pallas
         q, k, v, o, lse = res
         if not layout_is_hnd:
             q, k, v, o, do = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, o, do))
         sm_scale = opts["sm_scale"]
         if sm_scale is None:
             sm_scale = 1.0 / (q.shape[-1] ** 0.5)
-        dq, dk, dv = attention_backward(
+        interp = opts.get("interpret")
+        if interp is None:
+            interp = dispatch.default_interpret()
+        dq, dk, dv = attention_backward_pallas(
             q, k, v, o, lse, do, sm_scale=sm_scale,
-            is_causal=opts["is_causal"])
+            is_causal=opts["is_causal"], interpret=interp)
         if not layout_is_hnd:
             dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
         return dq, dk, dv

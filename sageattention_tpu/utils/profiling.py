@@ -3,6 +3,10 @@ timing + Kineto harness (`/root/reference/bench/utils.py:7-33,79-137`).
 
 CUDA events + L2 flush become host-synced queued timing (see testing.py);
 torch.profiler/Kineto becomes ``jax.profiler`` emitting Perfetto traces.
+
+Note: on tunneled TPU platforms (axon) the trace captures host-side events
+only (device streams don't cross the tunnel); on directly-attached TPUs the
+XLA device timeline appears in the same trace.
 """
 
 from __future__ import annotations

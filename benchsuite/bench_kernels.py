@@ -13,7 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sageattention_tpu.bench_lib import bench_kernel, bench_stock_flash
+from sageattention_tpu.bench_lib import (bench_e2e, bench_kernel,
+                                          bench_stock_flash)
 
 
 def main():
@@ -27,6 +28,11 @@ def main():
     ap.add_argument("--mode", default="flagship",
                     choices=["flagship", "native-int8", "bf16pv", "flash",
                              "stock-flash"])
+    ap.add_argument("--softmax", default="online",
+                    choices=["online", "static"],
+                    help="softmax_mode for quantized modes")
+    ap.add_argument("--scope", default="kernel", choices=["kernel", "e2e"],
+                    help="e2e = full sageattn() incl. fused quantization")
     args = ap.parse_args()
 
     kw = dict(B=args.batch, H=args.heads, D=args.head_dim, causal=args.causal)
@@ -34,12 +40,21 @@ def main():
           f"causal={args.causal}")
     print(f"{'seq':>8} {'ms':>10} {'TFLOPS':>8}")
     for S in args.seqs:
-        if args.mode == "flagship":
-            t, tf = bench_kernel(S=S, pv_dtype="int8", compute_dtype="bf16", **kw)
+        if args.scope == "e2e":
+            mode_map = {"flagship": ("int8", "bf16"),
+                        "native-int8": ("int8", "native"),
+                        "bf16pv": ("bf16", "native")}
+            pv, comp = mode_map.get(args.mode, ("int8", "bf16"))
+            t, tf = bench_e2e(S=S, pv_dtype=pv, compute_dtype=comp,
+                              softmax_mode=args.softmax, **kw)
+        elif args.mode == "flagship":
+            t, tf = bench_kernel(S=S, pv_dtype="int8", compute_dtype="bf16",
+                                 softmax_mode=args.softmax, **kw)
         elif args.mode == "native-int8":
             t, tf = bench_kernel(S=S, pv_dtype="int8", compute_dtype="native", **kw)
         elif args.mode == "bf16pv":
-            t, tf = bench_kernel(S=S, pv_dtype="bf16", compute_dtype="native", **kw)
+            t, tf = bench_kernel(S=S, pv_dtype="bf16", compute_dtype="native",
+                                 softmax_mode=args.softmax, **kw)
         elif args.mode == "flash":
             t, tf = bench_kernel(S=S, quantized=False, pv_dtype="bf16", **kw)
         else:

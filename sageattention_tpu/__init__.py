@@ -19,8 +19,9 @@ from .core import (
 )
 from .varlen import sageattn_varlen
 from .dispatch import detect as detect_tpu
+from .ops.lowbit import sageattn3, sageattn3_blackwell, sageattn3_tiled
 
-__version__ = "0.1.0"
+__version__ = "2.0.0"
 
 __all__ = [
     "sageattn",
@@ -34,4 +35,7 @@ __all__ = [
     "sageattn_qk_int8_pv_fp8_cuda_sm90",
     "flash_attention",
     "detect_tpu",
+    "sageattn3",
+    "sageattn3_blackwell",
+    "sageattn3_tiled",
 ]

@@ -47,10 +47,12 @@ def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool,
     """Tile-size heuristic measured on v5e (docs/PERF_NOTES.md): grid-step
     overhead dominates below ~512-wide tiles; bf16-compute paths gain most
     from a small inner sub-tile (MXU/VPU interleave) while native-int8 dots
-    need wide flat tiles.  Returns (block_q, block_k, block_k_inner)."""
+    need wide flat tiles (the static softmax removes the cross-sub-tile
+    dependency, so flat 2048x2048 wins — r2 sweep).
+    Returns (block_q, block_k, block_k_inner)."""
     if quantized and compute_dtype == "native":
         bq = _pick_block(2048, sq_pad)
-        bk = _pick_block(1024, sk_pad)
+        bk = _pick_block(2048, sk_pad)
         bki = bk
     elif quantized:  # int8 storage, bf16 compute
         bq = _pick_block(4096, sq_pad)
@@ -95,6 +97,10 @@ def _sage_attention(
     block_q: int = 0,
     block_k: int = 0,
     attn_mask=None,
+    softmax_mode: str = "auto",  # "auto" | "online" | "static" — see
+    # ops/attention.py AttnConfig.softmax_mode.  "auto" picks static
+    # whenever the P path is bf16 (exact-equivalent, fewer VPU ops and no
+    # cross-sub-tile dependency) and online otherwise.
     interpret: Optional[bool] = None,
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
@@ -140,6 +146,28 @@ def _sage_attention(
     else:
         bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=True,
                                      compute_dtype=compute_dtype)
+    if compute_dtype == "bf16":
+        k_scale_mode = "head"
+    if k_scale_mode not in ("head", "fine"):
+        raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
+    # Head-granularity K scale: amax over the TRUE sequence, before padding
+    # (padded rows would contribute |0 - km| = |km| and inflate the scale,
+    # wasting int8 codes — worst case near-constant K).
+    ks_sc = None
+    if k_scale_mode == "head":
+        kf = k.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
+                       axis=(2, 3), keepdims=True)
+        ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
+    # Per-channel V stats likewise pre-pad (pad rows would bias the mean and
+    # contribute |vm| to the channel amax).
+    vf_stats = None
+    if pv_dtype in ("int8", "fp8"):
+        vf = v.astype(jnp.float32)
+        vm_s = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
+        vc = vf - vm_s if smooth_v else vf
+        v_amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)    # [B,Hk,1,D]
+        vf_stats = (vm_s, v_amax)
     q = pad_axis(q, 2, Sq_pad)
     k = pad_axis(k, 2, Sk_pad)
     v = pad_axis(v, 2, Sk_pad)
@@ -147,12 +175,8 @@ def _sage_attention(
     # Quantize Q/K (sm_scale*log2e folded into Q).  On TPU the fused Pallas
     # quant kernels read bf16 once / write int8 once (ops/quant_pallas.py);
     # the pure-jnp path serves interpret/CPU runs.
-    if compute_dtype == "bf16":
-        k_scale_mode = "head"
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
-    elif k_scale_mode != "fine":
-        raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
 
     use_fused = not interpret
     fold = sm_scale * LOG2E
@@ -160,14 +184,16 @@ def _sage_attention(
         from .ops import quant_pallas as qp
         q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
         if k_scale_mode == "head":
-            kf = k.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
-                           axis=(2, 3), keepdims=True)
-            ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
             k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
             k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
+    elif k_scale_mode == "head":
+        q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=fold)
+        kf = k.astype(jnp.float32)
+        kc = kf - km if km is not None else kf
+        k_i8 = jnp.clip(jnp.rint(kc / ks_sc), -127, 127).astype(jnp.int8)
+        k_s = ks_sc[:, :, :, 0]
     else:
         q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
             q, k, km, sm_scale, q_group, k_group, "HND")
@@ -181,33 +207,38 @@ def _sage_attention(
     else:
         k_scale = quant_ops.expand_scales_cols(k_s, k_group, Sk_pad)
 
-    # V per pv mode.
+    # V per pv mode (channel stats from vf_stats — computed pre-pad).
     v_scale = None
     vm = None
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
-    elif pv_dtype == "int8" and use_fused:
-        vf = v.astype(jnp.float32)
-        vm = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
-        vc = vf - vm if smooth_v else vf
-        amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)      # [B,Hk,1,D]
-        v_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
-        v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
     elif pv_dtype == "int8":
-        v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=smooth_v)
-        v_scale = vs[:, :, None, :]
+        vm, v_amax = vf_stats
+        v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
+        if use_fused:
+            v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
+        else:
+            vc = v.astype(jnp.float32) - vm if vm is not None else v.astype(jnp.float32)
+            v_in = jnp.clip(jnp.rint(vc / v_scale), -127, 127).astype(jnp.int8)
     elif pv_dtype == "fp8":
-        v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=smooth_v)
-        v_scale = vs[:, :, None, :]
+        vm, v_amax = vf_stats
+        # scale_max=448 fills the e4m3 range (`quant.py:224-293` rule).
+        v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 448.0), 1.0)
+        vc = v.astype(jnp.float32) - vm if vm is not None else v.astype(jnp.float32)
+        v_in = (vc / v_scale).astype(jnp.float8_e4m3fn)
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
     masked = "none"
     mask_in = None
     if attn_mask is not None:
-        # bool: keep-where-true; float: additive bias (natural-log units) —
-        # semantics of the reference triton path (`core.py:160-171`,
-        # `attn_qk_int8_per_block.py:33-39`).  Shape [B, 1|Hq, Sq, Sk].
+        # bool: keep-where-true (reference triton semantics,
+        # `attn_qk_int8_per_block.py:33-39`).  float: additive bias in
+        # NATURAL-log units, matching jax.nn.dot_product_attention's `bias`
+        # — a deliberate deviation: the reference adds the user bias to its
+        # base-2-scaled logits raw (an effective ln2 rescale of the bias);
+        # here the kernel multiplies by LOG2E so `bias` means what it means
+        # everywhere else in JAX.  Shape [B, 1|Hq, Sq, Sk].
         if attn_mask.ndim != 4:
             raise ValueError("attn_mask must be [B, 1|H, Sq, Sk]")
         is_bool = attn_mask.dtype == jnp.bool_
@@ -216,16 +247,66 @@ def _sage_attention(
             attn_mask.astype(jnp.int8 if is_bool else jnp.float32),
             2, Sq_pad), 3, Sk_pad)
 
-    cfg = AttnConfig(
-        block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
-        quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
-        out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
-        masked=masked, fold_k_scale=(k_scale_mode == "head"),
-        compute_dtype=compute_dtype,
-    )
-    out, lse_b2 = attention_call(
-        q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
-        cfg=cfg, interpret=interpret)
+    # Static-softmax logit cap: C_i >= max_j s_ij in base-2 units, by
+    # Cauchy–Schwarz on the int8 payloads: |q8_i . k8_j| <= ||q8_i|| ||k8_j||,
+    # times the (folded) scales.  Cheap O(S·D) reduces, fused by XLA into
+    # the quant pass.
+    if softmax_mode == "auto":
+        # static forces a bf16 P (more accurate than int8/fp8 P) and is the
+        # fastest softmax on v5e (docs/PERF_NOTES.md r2); fp8 PV keeps the
+        # online exp-offset path, float-bias masks aren't covered by the cap.
+        softmax_mode = ("static" if (pv_dtype != "fp8" and masked != "float")
+                        else "online")
+    logit_cap = None
+    static_safe = None
+    if softmax_mode == "static":
+        qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                              axis=3, keepdims=True))          # [B,Hq,Sq,1]
+        kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3))
+        kn = jnp.where(jnp.arange(Sk_pad) < Sk, kn, 0.0)       # [B,Hk,Sk_pad]
+        if k_scale_mode == "head":  # ks already folded into q_scale
+            kn_max = jnp.max(kn, axis=2)[:, :, None, None]     # [B,Hk,1,1]
+        else:
+            kn_max = jnp.max(kn * k_scale[:, :, 0, :], axis=2)[:, :, None, None]
+        if Hq != Hk:
+            kn_max = jnp.repeat(kn_max, Hq // Hk, axis=1)
+        # 1+1e-5 absorbs f32 rounding of the norms so C is a true bound
+        logit_cap = q_scale * qn * kn_max * (1.0 + 1e-5)
+        # Safety: exp2(s - C) underflows when C - row_max > ~bf16 exponent
+        # range.  A cheap LOWER bound on the row max caps the slack:
+        # with smooth_k the smoothed logits have row mean exactly 0, so
+        # row_max >= 0; otherwise row_max >= row mean = q . km_all.  The
+        # call is static-safe iff slack <= 80 log2 units for every row
+        # (pathological only for unnormalized data — real attention logits
+        # sit at O(30)); unsafe calls run the online kernel via lax.cond.
+        if smooth_k:
+            row_lo = 0.0
+        else:
+            km_all = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
+            if Hq != Hk:
+                km_all = jnp.repeat(km_all, Hq // Hk, axis=1)
+            row_lo = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
+                                km_all)[..., None] * (sm_scale * LOG2E)
+        static_safe = jnp.all(logit_cap - row_lo <= 80.0)
+
+    def _call(mode):
+        cfg = AttnConfig(
+            block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
+            quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
+            out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
+            masked=masked, fold_k_scale=(k_scale_mode == "head"),
+            compute_dtype=compute_dtype, softmax_mode=mode,
+        )
+        return attention_call(
+            q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
+            logit_cap=logit_cap if mode == "static" else None,
+            cfg=cfg, interpret=interpret)
+
+    if softmax_mode == "static":
+        out, lse_b2 = jax.lax.cond(
+            static_safe, lambda: _call("static"), lambda: _call("online"))
+    else:
+        out, lse_b2 = _call(softmax_mode)
 
     # smooth_v repair: o += vm (valid because sum(p)/l == 1 per row).
     if vm is not None:
@@ -294,18 +375,99 @@ def _diff_sage_factory(opts_items):
     return f
 
 
+@functools.lru_cache(maxsize=256)
+def _diff_sage_masked_factory(opts_items):
+    """custom_vjp variant carrying a BOOL attn_mask: the mask threads into
+    the backward kernels (which zero masked pairs in the recomputed P), so
+    masked attention trains correctly instead of silently differentiating
+    through jnp.rint."""
+    import numpy as np
+    opts = dict(opts_items)
+    layout_is_hnd = opts["tensor_layout"] == "HND"
+
+    @jax.custom_vjp
+    def f(q, k, v, mask):
+        return _sage_attention(q, k, v, return_lse=False, attn_mask=mask,
+                               **opts)
+
+    def fwd(q, k, v, mask):
+        o, lse = _sage_attention(q, k, v, return_lse=True, attn_mask=mask,
+                                 **opts)
+        return o, (q, k, v, o, lse, mask)
+
+    def bwd(res, do):
+        from .ops.backward_pallas import attention_backward_pallas
+        q, k, v, o, lse, mask = res
+        if not layout_is_hnd:
+            q, k, v, o, do = (jnp.swapaxes(x, 1, 2) for x in (q, k, v, o, do))
+        sm_scale = opts["sm_scale"]
+        if sm_scale is None:
+            sm_scale = 1.0 / (q.shape[-1] ** 0.5)
+        interp = opts.get("interpret")
+        if interp is None:
+            interp = dispatch.default_interpret()
+        dq, dk, dv = attention_backward_pallas(
+            q, k, v, o, lse, do, sm_scale=sm_scale,
+            is_causal=opts["is_causal"], attn_mask=mask, interpret=interp)
+        if not layout_is_hnd:
+            dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
+        # bool primal -> float0 cotangent
+        return dq, dk, dv, np.zeros(mask.shape, dtype=jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _nondiff(fn, why: str):
+    """Wrap an inference-only path so jax.grad fails LOUDLY instead of
+    silently flowing zeros through the quantization rounding."""
+    f = jax.custom_vjp(fn)
+
+    def fwd(*args):
+        return fn(*args), None
+
+    def bwd(res, g):
+        raise NotImplementedError(why)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _dispatch_diff(q, k, v, **opts):
     """Route through the differentiable wrapper (static opts hashed)."""
     return _diff_sage_factory(tuple(sorted(opts.items())))(q, k, v)
 
 
 def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
-    """Public entry routing: the plain path for lse/mask consumers (ring
-    attention, masked models — inference-only), the custom-vjp wrapper
-    otherwise so the op is differentiable (training / __graft_entry__)."""
-    if return_lse or attn_mask is not None:
-        return _sage_attention(q, k, v, return_lse=return_lse,
-                               attn_mask=attn_mask, **opts)
+    """Public entry routing.  Every path is either differentiable via
+    custom_vjp (exact-math backward kernels; straight-through estimator for
+    the quantization) or raises on jax.grad — no silent zero-gradients:
+
+      - plain             -> custom_vjp (saved o/lse, Pallas backward)
+      - bool attn_mask    -> custom_vjp, mask threaded into the backward
+      - float bias mask   -> loudly non-differentiable (the bias gradient
+                             would require materializing an O(S^2) dS)
+      - return_lse        -> loudly non-differentiable (lse consumers —
+                             ring attention — are inference-side)
+    """
+    if return_lse:
+        fn = _nondiff(
+            lambda a, b, c: _sage_attention(
+                a, b, c, return_lse=True, attn_mask=attn_mask, **opts),
+            "sageattn(return_lse=True) is not differentiable; take gradients "
+            "through the plain output (return_lse=False) instead")
+        return fn(q, k, v)
+    if attn_mask is not None:
+        if attn_mask.dtype == jnp.bool_:
+            return _diff_sage_masked_factory(tuple(sorted(opts.items())))(
+                q, k, v, attn_mask)
+        fn = _nondiff(
+            lambda a, b, c, m: _sage_attention(
+                a, b, c, return_lse=False, attn_mask=m, **opts),
+            "sageattn with a float additive-bias mask is not differentiable "
+            "(the bias gradient is O(S^2) to materialize); use a bool mask "
+            "or the exact jax.nn.dot_product_attention for training")
+        return fn(q, k, v, attn_mask)
     return _dispatch_diff(q, k, v, **opts)
 
 
@@ -329,6 +491,20 @@ def sageattn(
     ``return_lse`` returns the natural-log row logsumexp for ring attention.
     """
     caps = dispatch.detect()
+    # FP4 routing (SageAttention3 class): gated on a MEASURED capability —
+    # no current TPU generation has a 4-bit MXU (benchsuite/probe_lowbit.py),
+    # so this branch is dormant; when a generation flips has_fp4 the
+    # plumbing is already here (reference keeps sageattn3 a separate API,
+    # `sageattn3/api.py:131-152`; we fold it into the dispatcher).
+    if (caps.has_fp4 and not return_lse and kwargs.get("attn_mask") is None
+            and q.shape[-1] <= 128):
+        from .ops.lowbit import sageattn3_tiled
+        qh, kh, vh = ((q, k, v) if tensor_layout == "HND" else
+                      (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                       jnp.swapaxes(v, 1, 2)))
+        out = sageattn3_tiled(qh, kh, vh, is_causal=is_causal,
+                              sm_scale=sm_scale)
+        return out if tensor_layout == "HND" else jnp.swapaxes(out, 1, 2)
     return _route(
         q, k, v, tensor_layout=tensor_layout, is_causal=is_causal,
         sm_scale=sm_scale, return_lse=return_lse,

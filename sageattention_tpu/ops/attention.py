@@ -102,10 +102,53 @@ class AttnConfig:
     masked: str = "none"     # "none" | "bool" | "float" — user attn_mask
     # (bool: keep where true; float: additive bias in natural-log units,
     # like the reference triton path `attn_qk_int8_per_block.py:33-39`)
+    p_sim_fp4: bool = False  # SageAttention3 accuracy simulation: quantize
+    # the P tile onto the e2m1 grid (scale = row absmax/6) before the PV dot
+    # — the tiled, O(S)-memory analogue of the reference's fused P
+    # re-quantization (`softmax_fused.h:28`, `mainloop_tma_ws.h:799-899`).
+    # Simulation only (v5e has no 4-bit MXU; see benchsuite/probe_lowbit.py).
+    softmax_mode: str = "online"  # "online": classic flash running-max.
+    # "static": the max is replaced by a precomputed per-row upper bound C_i
+    # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
+    # supplied via ``logit_cap``).  exp2(s - C) with a constant C keeps full
+    # float relative precision (the exponent offset is exact in fp), so
+    # accuracy matches online softmax while the kernel drops the max-reduce,
+    # the accumulator rescale, and — crucially — the sequential dependency
+    # between KV sub-tiles that serializes the VPU behind the MXU.  The TPU
+    # answer to the reference's "fp22" two-level accumulation tricks
+    # (`attn_utils.cuh:813-894`): restructure the softmax instead of the
+    # accumulator.  Requires a bf16 P path (pv bf16 or dq_compute): int8/fp8
+    # P would spend the bound's slack in quantization codes.
 
     @property
     def bki(self) -> int:
         return self.block_k_inner or self.block_k
+
+    @property
+    def p_bf16(self) -> bool:
+        """True when P stays bf16 and the PV dot runs in bf16 (V converted
+        in-kernel if stored int8).  False -> P is quantized (int8/fp8 PV
+        dots).  static softmax implies p_bf16 (bound slack must not eat
+        quantization codes)."""
+        return (not self.quantized or self.pv_dtype == "bf16"
+                or self.compute_dtype == "bf16"
+                or self.softmax_mode == "static")
+
+
+def _round_e2m1_tile(p, pmax):
+    """Quantize a probability tile onto the e2m1 grid with per-row scale
+    ``pmax/6`` (SageAttention3 P re-quantization semantics).  Pure
+    elementwise/rowwise ops — no lane regrouping."""
+    scale = jnp.maximum(pmax, 1e-30) * (1.0 / 6.0)   # (BQ, 1)
+    x = p / scale
+    mag = jnp.abs(x)
+    # nearest on {0,.5,1,1.5,2,3,4,6}: midpoint thresholds
+    grid = (0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0)
+    mids = (0.25, 0.75, 1.25, 1.75, 2.5, 3.5, 5.0)
+    q = jnp.zeros_like(mag)
+    for g, m in zip(grid[1:], mids):
+        q = jnp.where(mag > m, g, q)
+    return q * scale  # p >= 0, sign dropped
 
 
 def _bcast_cols(x128, n):
@@ -129,10 +172,13 @@ def _attn_kernel(
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
+    static_mode = cfg.softmax_mode == "static"
+    cap_ref = None
     if cfg.quantized:
         qs_ref = next(it)
         ks_ref = None if cfg.fold_k_scale else next(it)
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
+        cap_ref = next(it) if static_mode else None
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
     mask_ref = next(it) if cfg.masked != "none" else None
@@ -151,7 +197,12 @@ def _attn_kernel(
 
     @pl.when(j == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
+        if static_mode:
+            # the per-row logit bound C plays the role of the final running
+            # max; the epilogue's lse formula is then already correct.
+            m_scr[...] = jnp.broadcast_to(cap_ref[0, 0], m_scr.shape)
+        else:
+            m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
         if dq_compute:
@@ -226,16 +277,34 @@ def _attn_kernel(
                 # additive bias given in natural-log units -> base-2 domain
                 s = s + mask_ref[0, 0, :, sl].astype(jnp.float32) * LOG2E
 
+            if static_mode:
+                # no running stats: C (in m_scr since init) is the exponent
+                # shift; sub-tiles become independent accumulate-only work.
+                p = jnp.exp2(s - _bcast_cols(m_scr[...], BKI))
+                l_cur = jnp.sum(p, axis=1, keepdims=True)
+                if cfg.quantized and cfg.pv_dtype == "int8":
+                    v = v.astype(jnp.bfloat16)  # per-channel scale in epilogue
+                pv = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), v,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                l_scr[...] = l_scr[...] + l_cur
+                acc_scr[...] = acc_scr[...] + pv
+                return
+
             m_prev = m_scr[...]                         # (BQ, 128)
             l_prev = l_scr[...]
             m_cur = jnp.max(s, axis=1, keepdims=True)   # (BQ, 1)
             m_next = jnp.maximum(jnp.maximum(m_prev, m_cur), M_CLAMP)
             alpha = jnp.exp2(m_prev - m_next)           # (BQ, 128)
 
-            if not cfg.quantized or cfg.pv_dtype == "bf16" or dq_compute:
+            if cfg.p_bf16:
                 p = jnp.exp2(s - _bcast_cols(m_next, BKI))
+                if cfg.p_sim_fp4:
+                    # row absmax of this tile's p is exp2(m_cur - m_next);
+                    # m_next is lane-replicated — take one lane for (BQ, 1)
+                    p = _round_e2m1_tile(p, jnp.exp2(m_cur - m_next[:, :1]))
                 l_cur = jnp.sum(p, axis=1, keepdims=True)
-                if dq_compute and cfg.pv_dtype == "int8":
+                if cfg.quantized and cfg.pv_dtype == "int8":
                     v = v.astype(jnp.bfloat16)  # per-channel scale in epilogue
                 pv = jax.lax.dot_general(
                     p.astype(jnp.bfloat16), v,
@@ -279,8 +348,8 @@ def _attn_kernel(
         o = acc_scr[...] * _bcast_cols(1.0 / l_safe, D)
         if cfg.quantized and cfg.pv_dtype == "int8":
             # per-channel V scale; the extra 1/127 is the static P scale of
-            # the int8-PV dot (absent when P stayed bf16 in dq_compute mode)
-            p_scale = 1.0 if dq_compute else (1.0 / 127.0)
+            # the int8-PV dot (absent whenever P stayed bf16)
+            p_scale = 1.0 if cfg.p_bf16 else (1.0 / 127.0)
             o = o * (vs_ref[0, 0] * p_scale)  # (1, D)
         elif cfg.quantized and cfg.pv_dtype == "fp8":
             # fp8 exp-offset cancels in o (both acc and l carry 2^off)
@@ -335,6 +404,8 @@ def attention_call(
     q_segments=None,   # [B, Sq, 1] int32 (varlen only)
     kv_segments=None,  # [B, 1, Sk] int32 (varlen only)
     attn_mask=None,    # [B, Hm, Sq, Sk] int8 (bool) or f32 (additive bias)
+    logit_cap=None,    # [B, Hq, Sq, 1] f32 per-row base-2 logit upper bound
+    #                    (softmax_mode="static" only)
     *,
     cfg: AttnConfig,
     interpret: bool = False,
@@ -355,6 +426,14 @@ def attention_call(
     if cfg.compute_dtype == "bf16" and cfg.quantized:
         assert cfg.fold_k_scale, "bf16-compute mode needs head-folded K scales"
         assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
+    if cfg.softmax_mode == "static":
+        assert cfg.quantized, "static softmax needs int8 payload bounds"
+        assert logit_cap is not None, "softmax_mode='static' needs logit_cap"
+        assert cfg.pv_dtype != "fp8", \
+            "static softmax is bf16-P (fp8 P needs the online exp-offset)"
+        assert cfg.masked != "float", \
+            "static softmax bound does not cover additive float bias"
+        assert not cfg.p_sim_fp4, "fp4 P simulation needs the online row max"
     n_q, n_kv = Sq // BQ, Sk // BK
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
 
@@ -378,6 +457,9 @@ def attention_call(
         if with_vscale:
             in_specs.append(vs_spec)
             inputs.append(v_scale.astype(jnp.float32))
+        if cfg.softmax_mode == "static":
+            in_specs.append(qs_spec)  # same (1,1,BQ,1) per-row geometry
+            inputs.append(logit_cap.astype(jnp.float32))
     if cfg.segmented:
         in_specs += [qseg_spec, kseg_spec]
         inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]

@@ -33,9 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, sm_scale, causal,
-                BQ, BK, n_q):
+def _dkv_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_q):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
+    mask_ref = next(it) if masked else None
+    dk_ref, dv_ref, dk_acc, dv_acc = (next(it) for _ in range(4))
     j = pl.program_id(2)   # kv block
     i = pl.program_id(3)   # q block (innermost)
 
@@ -65,6 +67,10 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
             cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
             p = jnp.where(cols <= rows, p, 0.0)
+        if masked:
+            # lse was computed WITH the mask in the forward; the recomputed
+            # p must zero masked pairs or they'd leak spurious gradient
+            p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
         pb = p.astype(jnp.bfloat16)
         # dV += P^T dO  (contract over q rows)
         dv_acc[...] += jax.lax.dot_general(
@@ -82,8 +88,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-               dq_ref, dq_acc, *, sm_scale, causal, BQ, BK, n_kv):
+def _dq_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_kv):
+    it = iter(refs)
+    q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
+    mask_ref = next(it) if masked else None
+    dq_ref, dq_acc = next(it), next(it)
     i = pl.program_id(2)   # q block
     j = pl.program_id(3)   # kv block (innermost)
 
@@ -111,6 +120,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
             cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
             p = jnp.where(cols <= rows, p, 0.0)
+        if masked:
+            p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         ds = (p * (dov - di)).astype(jnp.bfloat16)
@@ -123,14 +134,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
+                              attn_mask=None,
                               block_q: int = 512, block_k: int = 512,
                               interpret: bool = False):
     """HND inputs, Sq/Sk already multiples of the blocks are NOT required —
     this wrapper pads internally.  q/o/do [B,Hq,Sq,D]; k/v [B,Hk,Sk,D];
-    lse [B,Hq,Sq] natural-log.  Returns (dq, dk, dv) with GQA group-sum."""
+    lse [B,Hq,Sq] natural-log (computed WITH ``attn_mask`` if given).
+    ``attn_mask``: bool keep-mask [B, 1|Hq, Sq, Sk] (float bias is handled
+    one level up — its own gradient would be O(S^2) to materialize).
+    Returns (dq, dk, dv) with GQA group-sum."""
     B, Hq, Sq, D = q.shape
     _, Hk, Sk, _ = k.shape
     G = Hq // Hk
+    masked = attn_mask is not None
 
     BQ = min(block_q, max(128, Sq))
     BK = min(block_k, max(128, Sk))
@@ -152,12 +168,26 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     Sqp, Skp = Sq + pad_q, Sk + pad_k
     n_q, n_kv = Sqp // BQ, Skp // BK
 
-    spec_q = pl.BlockSpec((1, 1, BQ, D), lambda b, h, a, c: (b, h, a, 0))
-    spec_kq = pl.BlockSpec((1, 1, BK, D), lambda b, h, a, c: (b, h, a, 0))
+    mask_in = []
+    if masked:
+        Hm = attn_mask.shape[1]
+        mb = jnp.pad(attn_mask.astype(jnp.int8),
+                     ((0, 0), (0, 0), (0, pad_q), (0, pad_k)))
+        mask_in = [mb]
+
+        def mask_spec(order):
+            # order: "ji" (dkv grid: j=kv outer, i=q inner) or "ij"
+            if order == "ji":
+                return pl.BlockSpec(
+                    (1, 1, BQ, BK),
+                    lambda b, h, j, i: (b, 0 if Hm == 1 else h, i, j))
+            return pl.BlockSpec(
+                (1, 1, BQ, BK),
+                lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, j))
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=is_causal,
-                          BQ=BQ, BK=BK, n_q=n_q),
+                          masked=masked, BQ=BQ, BK=BK, n_q=n_q),
         grid=(B, Hq, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # q
@@ -166,7 +196,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # do
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # lse
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # di
-        ],
+        ] + ([mask_spec("ji")] if masked else []),
         out_specs=(
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
@@ -181,11 +211,11 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse2, di)
+    )(qb, kb, vb, dob, lse2, di, *mask_in)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, causal=is_causal,
-                          BQ=BQ, BK=BK, n_kv=n_kv),
+                          masked=masked, BQ=BQ, BK=BK, n_kv=n_kv),
         grid=(B, Hq, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -194,7 +224,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ],
+        ] + ([mask_spec("ij")] if masked else []),
         out_specs=pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
@@ -202,7 +232,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse2, di)
+    )(qb, kb, vb, dob, lse2, di, *mask_in)
 
     dq = dq[:, :, :Sq].astype(q.dtype)
     dk = dk[:, :, :Sk]

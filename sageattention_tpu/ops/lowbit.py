@@ -147,7 +147,90 @@ def sageattn3(
     return out.astype(q.dtype)
 
 
+def sageattn3_tiled(
+    q,
+    k,
+    v,
+    is_causal: bool = False,
+    sm_scale: Optional[float] = None,
+    q_block: int = 128,
+    block_q: int = 0,
+    block_k: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Kernel-backed SageAttention3 simulation: O(S) memory via the Pallas
+    flash kernel, so FP4-semantics accuracy can be evaluated at real model
+    lengths (the pure-jnp :func:`sageattn3` materializes the S^2 score
+    matrix).
+
+    Same quantization semantics as :func:`sageattn3` with two deliberate
+    deviations, both documented against the reference:
+      - the removed q block-mean is folded back into the dequantized Q
+        carrier before the kernel (algebraically ``qc @ k^T + qm @ k^T`` =
+        ``(qc + qm) @ k^T`` — the reference adds ``delta_s`` to the score
+        tile instead, `mainloop_tma_ws.h:691-718`; folding is exact up to
+        bf16 carrier rounding),
+      - P is re-quantized per (row, KV-tile) absmax rather than per-16
+        vector (the reference fuses a per-tile AbsMax,
+        `softmax_fused.h:28`); granularity is comparable and the rowsum
+        normalization uses the quantized P either way.
+    """
+    from .attention import AttnConfig, attention_call
+    from .. import dispatch as _dispatch
+
+    B, H, Sq, D_og = q.shape
+    Sk = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / (D_og ** 0.5)
+    if interpret is None:
+        interpret = _dispatch.default_interpret()
+
+    d_target = 64 if D_og <= 64 else (128 if D_og <= 128 else 256)
+    pads = ((0, 0), (0, 0), (0, 0), (0, d_target - D_og))
+    qf = jnp.pad(q.astype(jnp.float32), pads)
+    kf = jnp.pad(k.astype(jnp.float32), pads)
+    vf = jnp.pad(v.astype(jnp.float32), pads)
+
+    km = jnp.mean(kf, axis=2, keepdims=True)
+    kc = kf - km
+
+    pad_q = (-Sq) % q_block
+    qp = jnp.pad(qf, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    qc, qm = q_block_mean_center(qp, q_block)
+
+    q4, qs = quant_fp4_microscaled(qc)
+    k4, ks = quant_fp4_microscaled(kc)
+    v4, vs = quant_fp4_microscaled(vf)
+    qd = dequant_fp4_microscaled(q4, qs)
+    kd = dequant_fp4_microscaled(k4, ks)
+    vd = dequant_fp4_microscaled(v4, vs)
+    # fold the (unquantized, fp32) q block-mean back into the Q carrier
+    qd = (qd + jnp.repeat(qm, q_block, axis=2))[:, :, :Sq + pad_q]
+
+    from ..core import _choose_blocks
+    from ..utils.layout import pad_axis, round_up
+    Sq_pad = round_up(Sq, block_q or 128)
+    Sk_pad = round_up(Sk, block_k or 128)
+    if block_q and block_k:
+        bq, bk, bki = block_q, block_k, block_k
+    else:
+        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=False)
+    qd = pad_axis(qd[:, :, :Sq], 2, Sq_pad).astype(jnp.bfloat16)
+    kd = pad_axis(kd, 2, Sk_pad).astype(jnp.bfloat16)
+    vd = pad_axis(vd, 2, Sk_pad).astype(jnp.bfloat16)
+
+    cfg = AttnConfig(
+        block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
+        quantized=False, layout="HND", sm_scale=sm_scale, kv_len=Sk,
+        out_dtype=jnp.bfloat16, p_sim_fp4=True,
+    )
+    out, _ = attention_call(qd, kd, vd, cfg=cfg, interpret=interpret)
+    return out[:, :, :Sq, :D_og].astype(q.dtype)
+
+
 def sageattn3_blackwell(q, k, v, *args, **kwargs):
-    """Reference-name alias (`sageattn3/__init__.py:16`)."""
+    """Reference-name alias (`sageattn3/__init__.py:16`).  Uses the tiled
+    kernel path (O(S) memory) — the jnp simulation stays available as
+    :func:`sageattn3` for cross-checking."""
     kwargs.pop("qk_quant_gran", None)
-    return sageattn3(q, k, v, *args, **kwargs)
+    return sageattn3_tiled(q, k, v, *args, **kwargs)

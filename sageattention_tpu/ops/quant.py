@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..utils.layout import get_layout
@@ -215,6 +216,72 @@ def per_channel_int8(v, tensor_layout: str = "HND", smooth_v: bool = True):
     safe = jnp.where(scale > 0, scale, 1.0)
     v_q = jnp.clip(jnp.rint(vh / safe[:, :, None, :]), -127, 127).astype(jnp.int8)
     return _axis2_to_seq(v_q, layout), safe, vm
+
+
+def _segmented_group_amax(a, seg, group: int):
+    """Per-row segment-confined group amax.
+
+    ``a``: [B, H, S] per-row absmax; ``seg``: [S] int32 segment ids forming
+    contiguous runs (packed varlen buffer).  Returns [B, H, S] where row t
+    carries ``max(a[u])`` over rows u in the same ``group``-row block AND
+    the same segment — so a quant group straddling a sequence boundary no
+    longer couples one request's scales to a neighbor's outliers (the
+    reference avoids this by starting fresh scale blocks per sequence,
+    `triton/quant_per_block_varlen.py:72-76`; with TPU static shapes we
+    confine the group amax instead).
+
+    Segments are contiguous, so within each group the same-segment rows
+    around row t form one run: two segmented cummax scans (forward +
+    backward, resetting at segment boundaries) cover it in O(log group).
+    """
+    B, H, S = a.shape
+    assert S % group == 0, (S, group)
+    nG = S // group
+    ag = a.reshape(B, H, nG, group)
+    sg = jnp.asarray(seg).reshape(nG, group)
+    # b[i] = run boundary between rows i-1 and i inside the group (b[0]=True)
+    b = jnp.concatenate(
+        [jnp.ones((nG, 1), bool), sg[:, 1:] != sg[:, :-1]], axis=1)
+
+    def comb(x, y):
+        mx, rx = x
+        my, ry = y
+        return jnp.where(ry, my, jnp.maximum(mx, my)), rx | ry
+
+    bb = jnp.broadcast_to(b, ag.shape)
+    fwd, _ = jax.lax.associative_scan(comb, (ag, bb), axis=3)
+    # reversed-order scan: run starts where the ORIGINAL boundary sits one
+    # step to the right — reverse(b[1:]) prefixed with True
+    b_rev = jnp.concatenate(
+        [jnp.ones((nG, 1), bool), b[:, 1:][:, ::-1]], axis=1)
+    bb_rev = jnp.broadcast_to(b_rev, ag.shape)
+    bwd_rev, _ = jax.lax.associative_scan(
+        comb, (ag[..., ::-1], bb_rev), axis=3)
+    bwd = bwd_rev[..., ::-1]
+    return jnp.maximum(fwd, bwd).reshape(B, H, S)
+
+
+def quant_int8_groupwise_segmented(x, seg, group: int, fold: float = 1.0,
+                                   sub=None):
+    """Segment-aware variant of :func:`quant_int8_groupwise` for packed
+    varlen buffers: same group geometry, but each row's scale is the amax
+    over (group ∩ segment), so scales never cross sequence boundaries and
+    padding rows (ids -1/-2) get their own scales.
+
+    Returns (x_int8 [B,H,S,D], per-ROW scales [B,H,S] float32).
+    """
+    B, H, S, D = x.shape
+    xf = x.astype(jnp.float32)
+    if sub is not None:
+        xf = xf - sub.astype(jnp.float32)
+    if fold != 1.0:
+        xf = xf * fold
+    a = jnp.max(jnp.abs(xf), axis=3)                  # [B, H, S]
+    amax = _segmented_group_amax(a, seg, group)
+    scale = amax * (1.0 / 127.0)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.rint(xf / safe[..., None]), -127, 127).astype(jnp.int8)
+    return q, safe
 
 
 def dequant_int8_groupwise(x_i8, scales, group: int):

@@ -29,6 +29,7 @@ def sdpa(
     kv_start: int = 0,
     segment_ids_q=None,
     segment_ids_k=None,
+    mask=None,
 ):
     """Reference scaled-dot-product attention.
 
@@ -67,6 +68,12 @@ def sdpa(
         while seg_mask.ndim < s.ndim:
             seg_mask = seg_mask[:, None]
         s = jnp.where(seg_mask, s, neg)
+    if mask is not None:
+        # bool: keep-where-true; float: additive bias (natural-log units)
+        if mask.dtype == jnp.bool_:
+            s = jnp.where(mask, s, neg)
+        else:
+            s = s + mask.astype(dtype)
 
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)

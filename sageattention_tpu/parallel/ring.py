@@ -7,13 +7,22 @@ communication with NCCL.  Here the ring is in-repo and TPU-native:
   - ``shard_map`` over the "sp" mesh axis, ``jax.lax.ppermute`` rotation —
     point-to-point neighbor transfers that ride ICI links.
   - K/V are quantized ONCE per shard before the ring starts; the **int8
-    payloads + their scales** rotate, halving ring bandwidth vs bf16.
+    payloads + their scales** rotate, halving ring bandwidth vs bf16.  Only
+    live buffers rotate (no dummy placeholders in the permuted tree).
   - K-mean smoothing needs the *global* K mean: a ``pmean`` over the ring
     axis before quantization (SURVEY.md §7 "hard parts").
-  - Partial outputs merge by lse-weighted online-softmax combination, the
-    same math the kernel uses across KV tiles, applied across chips.
+  - Each step's ppermute is issued BEFORE that step's attention, so XLA's
+    latency-hiding scheduler can overlap the collective-permute of chunk
+    t+1 with the compute on chunk t (the TPU analogue of the NCCL
+    send/recv-compute overlap external ring implementations do).
+  - Partial outputs are written bf16 (half the HBM traffic per step) and
+    merged in fp32 by lse-weighted online-softmax combination — the same
+    math the kernel uses across KV tiles, applied across chips.
   - Causal masking uses the kernel's dynamic q/kv offsets: off-diagonal
     source chunks skip all their tiles inside the kernel at runtime.
+  - GQA (Hq a multiple of Hk) is supported: K-side per-head scales, V
+    scales and means broadcast over the query head groups here, and the
+    kernel indexes KV heads by ``h // (Hq//Hk)`` natively.
 """
 
 from __future__ import annotations
@@ -45,17 +54,25 @@ def _merge(o1, lse1, o2, lse2):
     return o, m + jnp.log(l)
 
 
+def _repeat_heads(x, G):
+    """Broadcast a KV-head tensor [B,Hk,...] over query head groups -> [B,Hq,...]."""
+    return x if G == 1 else jnp.repeat(x, G, axis=1)
+
+
 def _ring_body(
     q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran, pv_dtype,
-    compute_dtype, interpret, block_q, block_k, return_lse,
+    compute_dtype, interpret, block_q, block_k, block_k_inner, return_lse,
 ):
-    """Runs on each device inside shard_map.  q/k/v: local HND shards
-    [B, H, S_local, D]; head_dim and seq already padded/aligned by caller.
+    """Runs on each device inside shard_map.  q: [B, Hq, S_local, D],
+    k/v: [B, Hk, S_local, D]; head_dim and seq already padded/aligned by
+    the caller.
 
     With compute_dtype="bf16" (the v5e flagship) K is quantized per head per
     shard; the rotating chunk carries its scalar scale, which is folded into
     the per-row Q scales each step before the kernel call."""
-    B, H, S, D = q.shape
+    B, Hq, S, D = q.shape
+    Hk = k.shape[1]
+    G = Hq // Hk
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
@@ -69,22 +86,22 @@ def _ring_body(
     if fold_k:
         kf = k.astype(jnp.float32) - km
         amax = jnp.max(jnp.abs(kf), axis=(2, 3), keepdims=True)
-        k_head_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,H,1,1]
+        k_head_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
         k_i8 = jnp.clip(jnp.rint(kf / k_head_scale), -127, 127).astype(jnp.int8)
         q_i8, q_s = quant_ops.quant_int8_groupwise(
             q, q_group, fold=sm_scale * LOG2E)
         k_scale = None
     else:
-        q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
-            q, k, km, sm_scale, q_group, k_group, "HND")
+        q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=sm_scale * LOG2E)
+        k_i8, k_s = quant_ops.quant_int8_groupwise(k, k_group, sub=km)
         k_scale = quant_ops.expand_scales_cols(k_s, k_group, S)
-        k_head_scale = jnp.ones((B, H, 1, 1), jnp.float32)
+        k_head_scale = None
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, S)
 
+    vm = None
+    v_scale = None
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
-        v_scale = jnp.ones((B, H, 1, D), jnp.float32)  # rotated for uniformity
-        vm = jnp.zeros((B, H, 1, D), jnp.float32)
     elif pv_dtype == "int8":
         v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=True)
         v_scale = vs[:, :, None, :]
@@ -93,50 +110,81 @@ def _ring_body(
         v_scale = vs[:, :, None, :]
 
     cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, causal=is_causal,
+        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
+        causal=is_causal,
         causal_dynamic=is_causal,  # offsets vary with the rotating source
         quantized=True, fold_k_scale=fold_k, compute_dtype=compute_dtype,
-        pv_dtype=pv_dtype, layout="HND", kv_len=S, out_dtype=jnp.float32,
+        pv_dtype=pv_dtype, layout="HND", kv_len=S,
+        # bf16 partials: merged in fp32 below; halves per-step HBM writes.
+        out_dtype=jnp.bfloat16,
     )
     call = functools.partial(attention_call, cfg=cfg, interpret=interpret)
 
     def step_attend(state, kv_chunk, step):
         o_acc, lse_acc = state
-        k_i8_c, k_scale_c, k_head_c, v_c, v_scale_c, vm_c = kv_chunk
         src = (idx - step) % n
         offsets = jnp.stack([idx * S, src * S]).astype(jnp.int32)
-        qs_step = q_scale * k_head_c[:, :, :, 0:1] if fold_k else q_scale
-        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, qs_step,
-                           None if fold_k else k_scale_c,
-                           v_scale_c if pv_dtype != "bf16" else None,
+        k_i8_c = kv_chunk["k"]
+        v_c = kv_chunk["v"]
+        if fold_k:
+            # chunk's per-head K scale (KV heads) folds into per-row Q scales
+            qs_step = q_scale * _repeat_heads(kv_chunk["ks_head"], G)[:, :, :, 0:1]
+            ks_c = None
+        else:
+            qs_step = q_scale
+            ks_c = kv_chunk["ks"]
+        vs_c = kv_chunk.get("vs")
+        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, qs_step, ks_c, vs_c,
                            offsets=offsets if is_causal else None)
         lse_p = lse_b2 / LOG2E
         # smooth_v repair must happen pre-merge (each chunk has its own vm):
         # o_true_chunk = o_p + vm_chunk (rows with l==0 produce o_p=0 and
         # lse=-inf so the merge weight kills the spurious +vm).
-        if pv_dtype != "bf16":
-            o_p = o_p + vm_c.astype(o_p.dtype)
+        o_p = o_p.astype(jnp.float32)
+        if vm is not None:
+            o_p = o_p + _repeat_heads(kv_chunk["vm"], G)
         return _merge(o_acc, lse_acc, o_p, lse_p)
 
-    o_acc = jnp.zeros((B, H, S, D), jnp.float32)
-    lse_acc = jnp.full((B, H, S), -jnp.inf, jnp.float32)
-    # int8 payloads + their scales travel together around the ring
-    chunk = (k_i8, k_scale if k_scale is not None else jnp.zeros((1,)),
-             k_head_scale, v_in, v_scale, vm)
+    o_acc = jnp.zeros((B, Hq, S, D), jnp.float32)
+    lse_acc = jnp.full((B, Hq, S), -jnp.inf, jnp.float32)
+    # int8 payloads + their scales travel together around the ring; only
+    # live buffers enter the permuted tree.
+    chunk = {"k": k_i8, "v": v_in}
+    if fold_k:
+        chunk["ks_head"] = k_head_scale
+    else:
+        chunk["ks"] = k_scale
+    if v_scale is not None:
+        chunk["vs"] = v_scale
+    if vm is not None:
+        chunk["vm"] = vm
     for step in range(n):
+        if step != n - 1:
+            # issue the rotation FIRST: no data dependency on this step's
+            # attention, so the collective-permute overlaps the compute.
+            next_chunk = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), chunk)
         o_acc, lse_acc = step_attend((o_acc, lse_acc), chunk, step)
         if step != n - 1:
-            chunk = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, axis_name, perm), chunk)
+            chunk = next_chunk
 
     # smooth_k lse repair (global km).
     lse_corr = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
-                          km.astype(jnp.float32)) * sm_scale
+                          _repeat_heads(km, G)) * sm_scale
     lse_acc = lse_acc + lse_corr
     o_acc = o_acc.astype(q.dtype)
     if return_lse:
         return o_acc, lse_acc
     return o_acc
+
+
+def _ring_block(cap: int, seq: int) -> int:
+    cand = cap
+    while cand > 128:
+        if seq % cand == 0:
+            return cand
+        cand //= 2
+    return 128
 
 
 def ring_sageattn(
@@ -149,18 +197,24 @@ def ring_sageattn(
     pv_dtype: Optional[str] = None,
     compute_dtype: Optional[str] = None,
     return_lse: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 0,
+    block_k: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Sequence-parallel quantized attention over a mesh axis.
 
-    ``q/k/v``: global HND arrays [B, H, S, D]; S must divide evenly by the
-    ``axis_name`` mesh-axis size times ``block``.  Heads may additionally be
-    sharded over "tp" and batch over "dp" by the caller's shardings — this
-    wrapper only fixes the sequence axis.
+    ``q``: global HND [B, Hq, S, D]; ``k``/``v``: [B, Hk, S, D] with
+    Hq % Hk == 0 (GQA).  S must divide evenly by the ``axis_name`` mesh-axis
+    size times the kernel block.  Heads may additionally be sharded over
+    "tp" and batch over "dp" by the caller's shardings — this wrapper only
+    fixes the sequence axis.  ``block_q``/``block_k`` of 0 pick tuned sizes
+    for the local shard length (docs/PERF_NOTES.md sweep).
     """
-    B, H, S, D = q.shape
+    B, Hq, S, D = q.shape
+    Hk = k.shape[1]
+    if Hq % Hk != 0:
+        raise ValueError(f"num_qo_heads ({Hq}) must be divisible by "
+                         f"num_kv_heads ({Hk}) for ring GQA")
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     if pv_dtype is None:
@@ -172,8 +226,17 @@ def ring_sageattn(
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
-    assert S % (n * block_q) == 0 and S % (n * block_k) == 0, (
-        f"seq {S} must be a multiple of {n}*block for ring attention")
+    assert S % (n * 128) == 0, (
+        f"seq {S} must be a multiple of {n}*128 for ring attention")
+    S_local = S // n
+    if not block_q:
+        # local shards are short; cap below the single-chip 4096 default so
+        # the per-step grid still has >=2 q tiles to pipeline
+        block_q = _ring_block(2048, S_local)
+    if not block_k:
+        block_k = _ring_block(2048, S_local)
+    block_k_inner = min(256, block_k) if compute_dtype == "bf16" else block_k
+    assert S_local % block_q == 0 and S_local % block_k == 0
     D_og = D
     if D not in (64, 128, 256):
         target = 64 if D < 64 else (128 if D < 128 else 256)
@@ -185,7 +248,8 @@ def ring_sageattn(
         _ring_body, axis_name=axis_name, is_causal=is_causal, sm_scale=sm_scale,
         qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
-        block_q=block_q, block_k=block_k, return_lse=return_lse)
+        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
+        return_lse=return_lse)
 
     in_spec = P(None, None, axis_name, None)
     out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \

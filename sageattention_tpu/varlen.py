@@ -59,6 +59,7 @@ def sageattn_varlen(
     qk_quant_gran: str = "per_block",
     pv_dtype: Optional[str] = None,
     return_lse: bool = False,
+    attn_mask=None,
     **kwargs: Any,
 ):
     """Ragged-batch SageAttention.
@@ -67,11 +68,30 @@ def sageattn_varlen(
     batch, as in the reference).  ``cu_seqlens_q/k``: [n_seq+1] int32
     cumulative sequence starts, first element 0, last element total length.
     ``max_seqlen_*`` are accepted for signature parity (unused — TPU shapes
-    are static).  Returns [total_q, Hq, D] (+ lse [Hq, total_q] if asked).
+    are static).  ``attn_mask``: optional [1|Hq, total_q, total_k] bool keep
+    mask or float additive bias over the packed buffers (applied on top of
+    the segment mask).  Returns [total_q, Hq, D] (+ lse [Hq, total_q]).
+
+    Quantization is segment-aware: group scales are confined to (group ∩
+    sequence), so a scale group straddling a sequence boundary cannot couple
+    one request's quantization to a neighbor's outliers (the reference
+    starts fresh scale blocks per sequence,
+    `triton/quant_per_block_varlen.py:72-76`).
     """
     del max_seqlen_q, max_seqlen_k
     Tq, Hq, D_og = q.shape
     Tk, Hk, _ = k.shape
+    if is_causal:
+        # per-sequence causal == global-causal AND same-segment only holds
+        # when the q and k packings are identical (reference requires
+        # qo_len == kv_len for causal, `core.py:379`).
+        cq, ck = cu_seqlens_q, cu_seqlens_k
+        if not (isinstance(cq, jax.core.Tracer) or isinstance(ck, jax.core.Tracer)):
+            import numpy as _np
+            if not _np.array_equal(_np.asarray(cq), _np.asarray(ck)):
+                raise ValueError(
+                    "is_causal=True requires cu_seqlens_q == cu_seqlens_k "
+                    "(per-sequence qo_len == kv_len, as in the reference)")
     if sm_scale is None:
         sm_scale = 1.0 / (D_og ** 0.5)
     interpret = kwargs.pop("interpret", None)
@@ -115,44 +135,84 @@ def sageattn_varlen(
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
     fold_k = compute_dtype == "bf16"
+    # Segment-aware quant: per-row scales confined to (group ∩ segment);
+    # padding rows carry their own (harmless) scales.
+    q_i8, q_srow = quant_ops.quant_int8_groupwise_segmented(
+        qb, q_seg, q_group, fold=sm_scale * LOG2E)
+    q_scale = q_srow[..., None]                       # [1, Hq, Tq_pad, 1]
+    kv_valid = (jnp.arange(Tk_pad) < Tk)[None, None, :, None]
     if fold_k:
-        k_group = Tk_pad  # per-head K scale, folded into q_scale
-    q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
-        qb, kb, km, sm_scale, q_group, k_group, "HND")
-    q_scale = quant_ops.expand_scales_rows(q_s, q_group, Tq_pad)
-    if fold_k:
-        ks_head = k_s[:, :, 0]
+        # Per-(head, SEGMENT) K scale: a whole-batch per-head scale would
+        # couple every sequence to the worst outlier in the pack.  Each q
+        # row attends only its own segment, so its segment's K scale folds
+        # exactly into that row's Q scale.
+        kf = kb.astype(jnp.float32) - (km if km is not None else 0.0)
+        a = jnp.max(jnp.abs(kf), axis=3)                       # [1,Hk,Tk_pad]
+        seg_amax = quant_ops._segmented_group_amax(a, kv_seg, Tk_pad)
+        ks_row = jnp.where(seg_amax > 0, seg_amax * (1.0 / 127.0), 1.0)
+        k_i8 = jnp.clip(jnp.rint(kf / ks_row[..., None]),
+                        -127, 127).astype(jnp.int8)
+        # q row of segment s takes the scale at s's first K row
+        n_seq = cu_seqlens_k.shape[0] - 1
+        starts = jnp.take(cu_seqlens_k.astype(jnp.int32),
+                          jnp.clip(q_seg, 0, n_seq - 1))       # [Tq_pad]
+        starts = jnp.clip(starts, 0, Tk_pad - 1)
+        sk_q = jnp.take(ks_row, starts, axis=2)                # [1,Hk,Tq_pad]
         if Hq != Hk:
-            ks_head = jnp.repeat(ks_head, Hq // Hk, axis=1)
-        q_scale = q_scale * ks_head[:, :, None, None]
+            sk_q = jnp.repeat(sk_q, Hq // Hk, axis=1)
+        q_scale = q_scale * sk_q[..., None]
         k_scale = None
     else:
-        k_scale = quant_ops.expand_scales_cols(k_s, k_group, Tk_pad)
+        k_i8, k_srow = quant_ops.quant_int8_groupwise_segmented(
+            kb, kv_seg, k_group, sub=km)
+        k_scale = k_srow[:, :, None, :]               # [1, Hk, 1, Tk_pad]
 
     v_scale = None
     vm = None
     if pv_dtype == "bf16":
         v_in = vb.astype(jnp.bfloat16)
-    elif pv_dtype == "int8":
-        v_in, vs, vm = quant_ops.per_channel_int8(vb, "HND", smooth_v=True)
-        v_scale = vs[:, :, None, :]
-    elif pv_dtype == "fp8":
-        v_in, vs, vm = quant_ops.per_channel_fp8(vb, "HND", smooth_v=True)
-        v_scale = vs[:, :, None, :]
+    elif pv_dtype in ("int8", "fp8"):
+        # per-channel stats over REAL tokens only
+        vf = vb.astype(jnp.float32)
+        vm = (jnp.sum(vf * kv_valid, axis=2, keepdims=True)
+              / jnp.maximum(Tk, 1))
+        vc = jnp.where(kv_valid, vf - vm, 0.0)
+        v_amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)  # [1,Hk,1,D]
+        if pv_dtype == "int8":
+            v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
+            v_in = jnp.clip(jnp.rint((vf - vm) / v_scale),
+                            -127, 127).astype(jnp.int8)
+        else:
+            v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 448.0), 1.0)
+            v_in = ((vf - vm) / v_scale).astype(jnp.float8_e4m3fn)
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
+
+    masked = "none"
+    mask_in = None
+    if attn_mask is not None:
+        if attn_mask.ndim == 2:
+            attn_mask = attn_mask[None]
+        if attn_mask.ndim != 3:
+            raise ValueError("varlen attn_mask must be [1|Hq, Tq, Tk]")
+        is_bool = attn_mask.dtype == jnp.bool_
+        masked = "bool" if is_bool else "float"
+        mask_in = pad_axis(pad_axis(
+            attn_mask.astype(jnp.int8 if is_bool else jnp.float32)[None],
+            2, Tq_pad), 3, Tk_pad)                    # [1, Hm, Tq_pad, Tk_pad]
 
     cfg = AttnConfig(
         block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
         causal=is_causal, quantized=True,
         pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
-        out_dtype=q.dtype, segmented=True,
+        out_dtype=q.dtype, segmented=True, masked=masked,
         compute_dtype=compute_dtype, fold_k_scale=fold_k,
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
         q_segments=q_seg[None, :, None],
         kv_segments=kv_seg[None, None, :],
+        attn_mask=mask_in,
         cfg=cfg, interpret=interpret,
     )
 

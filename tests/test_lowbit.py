@@ -76,3 +76,50 @@ class TestSageAttn3:
         q, k, v = (jax.random.normal(kk, (1, 1, 128, 64), jnp.float32) for kk in ks)
         out = lowbit.sageattn3_blackwell(q, k, v, qk_quant_gran="per_warp")
         assert out.shape == q.shape
+
+
+class TestSageAttn3Tiled:
+    """Kernel-backed O(S)-memory SA3 simulation (ops/lowbit.sageattn3_tiled)."""
+
+    # N(0,1) data is FP4's worst case (flat softmax: most p values sit far
+    # below the row max, and per-(row,tile) scales — the reference's
+    # per-tile AbsMax, `softmax_fused.h:28` — leave them few e2m1 codes).
+    # The jnp sim's per-16 P groups are finer, hence its tighter 2.5e-2 bar;
+    # on peaked real-model attention both land ~1e-3 (test_accuracy_model_
+    # tensors covers that regime).
+
+    def test_accuracy_vs_sdpa(self):
+        ks = jax.random.split(jax.random.PRNGKey(7), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 256, 64), jnp.float32) for kk in ks)
+        out = lowbit.sageattn3_tiled(q, k, v)
+        assert calc_diff(out, sdpa(q, k, v)) < 6e-2
+
+    def test_matches_jnp_sim(self):
+        ks = jax.random.split(jax.random.PRNGKey(8), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 256, 64), jnp.float32) for kk in ks)
+        a = lowbit.sageattn3_tiled(q, k, v)
+        b = lowbit.sageattn3(q, k, v)
+        assert calc_diff(a, b) < 5e-2
+
+    def test_peaked_attention_accurate(self):
+        # real-attention regime: peaked softmax -> P quant error is benign
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        q = jax.random.normal(ks[0], (1, 2, 256, 64), jnp.float32) * 3.0
+        k = q + 0.1 * jax.random.normal(ks[1], (1, 2, 256, 64), jnp.float32)
+        v = jax.random.normal(ks[2], (1, 2, 256, 64), jnp.float32)
+        out = lowbit.sageattn3_tiled(q, k, v)
+        assert calc_diff(out, sdpa(q, k, v)) < 5e-3
+
+    def test_causal_unaligned(self):
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        q, k, v = (jax.random.normal(kk, (1, 1, 200, 64), jnp.float32) for kk in ks)
+        out = lowbit.sageattn3_tiled(q, k, v, is_causal=True)
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 6e-2
+
+    def test_block_mean_shift_repaired(self):
+        ks = jax.random.split(jax.random.PRNGKey(10), 3)
+        q, k, v = (jax.random.normal(kk, (1, 1, 256, 64), jnp.float32) for kk in ks)
+        q = q + jnp.linspace(-4, 4, 256)[None, None, :, None]
+        out = lowbit.sageattn3_tiled(q, k, v)
+        assert calc_diff(out, sdpa(q, k, v)) < 6e-2

@@ -99,6 +99,44 @@ class TestGradients:
         g = jax.grad(lambda q: jnp.sum(sa.sageattn_qk_int8_pv_int8(q, k, v)))(q)
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_bool_mask_grads_match_exact(self):
+        # regression: masked calls used to bypass custom_vjp and silently
+        # differentiate through jnp.rint (near-zero dq/dk)
+        q, k, v = qkv()
+        mask = jax.random.bernoulli(jax.random.PRNGKey(21), 0.8, (1, 1, 256, 256))
+        f = lambda q, k, v: jnp.sum(
+            sa.sageattn_qk_int8_pv_bf16(q, k, v, attn_mask=mask) ** 2)
+        fr = lambda q, k, v: jnp.sum(sdpa(q, k, v, mask=mask) ** 2)
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g, gr):
+            rel = np.abs(np.asarray(a) - np.asarray(b)).max() / np.abs(np.asarray(b)).max()
+            assert rel < 0.05
+
+    def test_bool_mask_causal_grads(self):
+        q, k, v = qkv()
+        mask = jax.random.bernoulli(jax.random.PRNGKey(22), 0.9, (1, 1, 256, 256))
+        tri = jnp.tril(jnp.ones((256, 256), bool))[None, None]
+        f = lambda q: jnp.sum(sa.sageattn_qk_int8_pv_bf16(
+            q, k, v, attn_mask=mask, is_causal=True))
+        fr = lambda q: jnp.sum(sdpa(q, k, v, mask=mask & tri))
+        a = np.asarray(jax.grad(f)(q))
+        b = np.asarray(jax.grad(fr)(q))
+        assert np.abs(a - b).max() / np.abs(b).max() < 0.05
+
+    def test_float_bias_grad_raises(self):
+        q, k, v = qkv(S=128)
+        bias = jnp.zeros((1, 1, 128, 128), jnp.float32)
+        with pytest.raises(NotImplementedError, match="float additive-bias"):
+            jax.grad(lambda q: jnp.sum(
+                sa.sageattn_qk_int8_pv_bf16(q, k, v, attn_mask=bias)))(q)
+
+    def test_return_lse_grad_raises(self):
+        q, k, v = qkv(S=128)
+        with pytest.raises(NotImplementedError, match="return_lse"):
+            jax.grad(lambda q: jnp.sum(
+                sa.sageattn_qk_int8_pv_bf16(q, k, v, return_lse=True)[0]))(q)
+
     def test_nhd_grads(self):
         q, k, v = qkv()
         qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))

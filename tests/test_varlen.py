@@ -59,6 +59,63 @@ class TestVarlen:
         assert calc_diff(out, jnp.swapaxes(dense[0], 0, 1)) < 2e-4
 
 
+class TestVarlenAdversarial:
+    """Quant-group boundary hardening: scales must not couple sequences."""
+
+    def test_outlier_sequence_does_not_poison_neighbor(self):
+        # seq A ends mid-group (100 % 4 != 0); seq B opens with a 1000x
+        # outlier in the straddling group.  Segment-aware scales keep A's
+        # quantization unaffected; group-blind scales would crush A's rows
+        # sharing the group to ~0 codes.
+        lengths = [100, 156]
+        q, k, v, cu = packed(lengths, key=7)
+        q = q.at[100].mul(1000.0)
+        k = k.at[100].mul(1000.0)
+        out = sa.sageattn_varlen(q, k, v, cu, cu, 156, 156,
+                                 is_causal=False, pv_dtype="bf16",
+                                 qk_quant_gran="per_thread")
+        ref = dense_loop_oracle(q, k, v, cu, False)
+        # compare only sequence A (the victim)
+        assert calc_diff(out[:100], ref[:100]) < 1e-3
+
+    def test_group_straddles_boundary_per_block(self):
+        # per_block = 128-row Q groups; boundaries at 50/130 straddle them
+        lengths = [50, 80, 126]
+        q, k, v, cu = packed(lengths, key=9)
+        k = k.at[50].mul(500.0)  # outlier at the head of sequence B
+        out = sa.sageattn_varlen(q, k, v, cu, cu, 126, 126,
+                                 is_causal=False, pv_dtype="bf16",
+                                 qk_quant_gran="per_block")
+        ref = dense_loop_oracle(q, k, v, cu, False)
+        assert calc_diff(out[:50], ref[:50]) < 1e-3
+        assert calc_diff(out[130:], ref[130:]) < 1e-3
+
+    def test_causal_requires_matching_cu_seqlens(self):
+        q, k, v, cu = packed([128, 128])
+        cu_k = jnp.array([0, 100, 256], jnp.int32)
+        with pytest.raises(ValueError, match="cu_seqlens_q == cu_seqlens_k"):
+            sa.sageattn_varlen(q, k, v, cu, cu_k, 128, 156, is_causal=True)
+
+    def test_attn_mask_bool(self):
+        lengths = [100, 120]
+        q, k, v, cu = packed(lengths, key=3)
+        T = sum(lengths)
+        keep = jax.random.bernoulli(jax.random.PRNGKey(1), 0.9, (T, T))
+        out = sa.sageattn_varlen(q, k, v, cu, cu, 120, 120,
+                                 pv_dtype="bf16", attn_mask=keep)
+        # oracle: dense per-sequence loop with the corresponding mask slice
+        outs = []
+        bounds = np.asarray(cu)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            o = sdpa(jnp.swapaxes(q[a:b][None], 1, 2),
+                     jnp.swapaxes(k[a:b][None], 1, 2),
+                     jnp.swapaxes(v[a:b][None], 1, 2),
+                     mask=keep[None, None, a:b, a:b])
+            outs.append(jnp.swapaxes(o[0], 0, 1))
+        ref = jnp.concatenate(outs, axis=0)
+        assert calc_diff(out, ref) < 1e-3
+
+
 class TestVarlenModes:
     def test_int8_pv(self):
         q, k, v, cu = packed([128, 128])

@@ -9,12 +9,19 @@ This probe measures what the local TPU actually offers for sub-8-bit dots:
   - the same geometry in int8 and bf16 for comparison
 
 Round-1 VERDICT: the "no 4-bit MXU on v5e" claim lived only in prose; this
-is the claim as code.  Run: python benchsuite/probe_lowbit.py
+is the claim as code.  All three dtypes run the IDENTICAL loop structure,
+so the RELATIVE rates are the claim (the accumulator update bounds the
+absolute numbers — see probe_roofline.py for realizable attention rates).
+A generation with a real 4-bit MXU would show int4 >> int8 here.
 
-v5e result (2026-08, this host): int4 dots LOWER (Mosaic accepts them) but
-run BELOW the int8 rate — there is no 4-bit MXU path, the values are
-widened.  dispatch.TpuCapabilities.has_fp4 stays False; sageattn3 keeps the
-simulation semantics (ops/lowbit.py) until a generation flips the probe.
+Run: python benchsuite/probe_lowbit.py
+
+v5e result (2026-08, this host): jnp.int4 ARRAYS don't survive jit
+transport at all (RecursionError in the int4 array wrapper); with an
+in-kernel int8->int4 cast the dot runs at <= the int8 rate — there is no
+4-bit MXU path, values are widened.  dispatch.TpuCapabilities.has_fp4
+stays False; sageattn3 keeps the simulation semantics (ops/lowbit.py)
+until a generation flips this probe.
 """
 
 from __future__ import annotations
@@ -33,11 +40,16 @@ from sageattention_tpu.utils.testing import time_fn  # noqa: E402
 from sageattention_tpu.dispatch import default_interpret  # noqa: E402
 
 
-def _dot_kernel(a_ref, a2_ref, b_ref, o_ref, acc_ref, *, R, acc_t):
+def _dot_kernel(a_ref, a2_ref, b_ref, o_ref, acc_ref, *, R, acc_t,
+                cast_int4=False):
     def body(i, carry):
         av = jax.lax.select(i % 2 == 0, a_ref[...], a2_ref[...])
+        bv = b_ref[...]
+        if cast_int4:
+            av = av.astype(jnp.int4)
+            bv = bv.astype(jnp.int4)
         acc_ref[...] += jax.lax.dot_general(
-            av, b_ref[...], (((1,), (0,)), ((), ())),
+            av, bv, (((1,), (0,)), ((), ())),
             preferred_element_type=acc_t).astype(jnp.float32)
         return carry
 
@@ -49,8 +61,11 @@ def probe(dtype_name, M=2048, K=128, N=2048, R=32, interpret=False):
     key = jax.random.PRNGKey(0)
     key2 = jax.random.PRNGKey(1)
     if dtype_name == "int4":
-        a = (jax.random.normal(key, (M, K)) * 4).astype(jnp.int4)
-        b = (jax.random.normal(key2, (K, N)) * 4).astype(jnp.int4)
+        # int4 arrays do not even survive jit transport on this stack
+        # (RecursionError in the int4 array wrapper) — ship int8 payloads
+        # and cast to int4 INSIDE the kernel so the dot itself is 4-bit.
+        a = (jax.random.normal(key, (M, K)) * 4).astype(jnp.int8)
+        b = (jax.random.normal(key2, (K, N)) * 4).astype(jnp.int8)
         acc_t = jnp.int32
     elif dtype_name == "int8":
         a = (jax.random.normal(key, (M, K)) * 30).astype(jnp.int8)
@@ -62,7 +77,8 @@ def probe(dtype_name, M=2048, K=128, N=2048, R=32, interpret=False):
         acc_t = jnp.float32
     a2 = a[::-1]
     fn = pl.pallas_call(
-        functools.partial(_dot_kernel, R=R, acc_t=acc_t),
+        functools.partial(_dot_kernel, R=R, acc_t=acc_t,
+                          cast_int4=dtype_name == "int4"),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((M, N), jnp.float32)],
         compiler_params=pltpu.CompilerParams(

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Model-scale forward-parity sweep on the real TPU.
+
+The reference validates end-to-end on CogVideoX / Wan / Mochi / LTX
+pipelines (`/root/reference/example/cogvideox_infer.py:35`) — pretrained
+weights are not available in this environment, so the equivalent evidence is
+a forward-parity sweep at REAL model dimensions: the exact attention shapes
+those pipelines issue, random-but-realistic activations, sage vs exact
+attention, cosine similarity per shape plus a full DiT-block forward at
+CogVideoX scale.
+
+Shapes validated (B, Hq, Hk, S, D):
+  - CogVideoX1.5-5B joint attention: 48 heads, hd 64, S = 226 text +
+    17,550 video tokens = 17,776  (diffusers config)
+  - HunyuanVideo-class: 24 heads, hd 128, S = 32,528
+  - Llama-70B-class GQA prefill: 64 q heads / 8 kv heads, hd 128, S = 16,384
+  - ViT-giant-class: 16 heads, hd 96 (odd head_dim path), S = 4,096
+
+Run:  PYTHONPATH=/root/.axon_site:/root/repo python -u examples/model_scale_parity.py
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import sageattention_tpu as sa
+from sageattention_tpu.utils.testing import calc_diff
+
+# The pure-jnp SDPA oracle materializes S^2 scores (100+ GB at these
+# lengths); the bf16 Pallas flash baseline — itself validated against the
+# oracle to <2e-5 at small S (tests/test_attention.py) — is the reference
+# here, so the cosine similarity below isolates QUANTIZATION error, the
+# quantity the reference's model evals measure.
+flash = sa.flash_attention
+
+
+def realistic_qkv(B, Hq, Hk, S, D, key=0):
+    """Activation-like tensors: correlated q/k (attention is peaked in real
+    models), per-head scale diversity, a mild outlier channel in K (the
+    failure mode smooth_k exists for)."""
+    ks = jax.random.split(jax.random.PRNGKey(key), 5)
+    base = jax.random.normal(ks[0], (B, Hk, S, D), jnp.float32)
+    q = (base.repeat(Hq // Hk, axis=1)
+         + 0.7 * jax.random.normal(ks[1], (B, Hq, S, D), jnp.float32))
+    scales = jnp.exp(jax.random.normal(ks[2], (1, Hq, 1, 1)) * 0.4)
+    q = q * scales
+    k = base + 0.3 * jax.random.normal(ks[3], (B, Hk, S, D), jnp.float32)
+    k = k.at[:, :, :, 7].add(4.0)  # biased channel (reference motivation)
+    v = jax.random.normal(ks[4], (B, Hk, S, D), jnp.float32)
+    return q, k, v
+
+
+CASES = [
+    ("CogVideoX1.5 joint attn", dict(B=1, Hq=48, Hk=48, S=17776, D=64)),
+    ("HunyuanVideo-class", dict(B=1, Hq=24, Hk=24, S=32528, D=128)),
+    ("Llama-70B GQA prefill causal", dict(B=1, Hq=64, Hk=8, S=16384, D=128,
+                                          causal=True)),
+    ("ViT-giant hd96", dict(B=4, Hq=16, Hk=16, S=4096, D=96)),
+]
+
+
+def main():
+    print("platform:", jax.devices()[0].platform)
+    ok = True
+    for name, cfg in CASES:
+        causal = cfg.pop("causal", False)
+        q, k, v = realistic_qkv(**cfg, key=hash(name) % 1000)
+        t0 = time.perf_counter()
+        out = sa.sageattn(q, k, v, is_causal=causal)
+        out.block_until_ready()
+        import numpy as np
+        np.asarray(jnp.sum(out.ravel()[:1]))  # tunnel sync
+        dt = time.perf_counter() - t0
+        ref = flash(q, k, v, is_causal=causal)
+        d = calc_diff(out, ref)
+        cos = 1.0 - d
+        status = "OK " if cos >= 0.999 else "FAIL"
+        ok &= cos >= 0.999
+        print(f"{status} {name:32s} {str(tuple(q.shape)):24s} causal={causal} "
+              f"cossim={cos:.6f} (first-call {dt:.1f}s incl compile)", flush=True)
+
+    # full DiT block at CogVideoX scale: hidden 3072, 48 heads, joint seq
+    from sageattention_tpu.models import DiTConfig, make_dit, example_inputs
+    from sageattention_tpu.models.integration import sage_dot_product_attention
+    cfg = DiTConfig(hidden=3072, heads=48, depth=1, frames=11, height=60,
+                    width=90, patch=2, text_len=226, text_dim=3072,
+                    zero_init_gates=False)
+    print(f"DiT block: hidden={cfg.hidden} heads={cfg.heads} "
+          f"S={cfg.text_len + cfg.video_tokens}", flush=True)
+    def flash_nhd(q, k, v, *args, is_causal=False, scale=None, **kw):
+        # tiled bf16 flash as the reference attention (jax.nn's default
+        # implementation materializes the S^2 scores — 43 GB at this scale)
+        return jnp.swapaxes(flash(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), is_causal=is_causal, sm_scale=scale), 1, 2)
+
+    model_sage = make_dit(cfg, attn_fn=sage_dot_product_attention)
+    model_ref = make_dit(cfg, attn_fn=flash_nhd)
+    latents, text, t = example_inputs(cfg, batch=1)
+    params = model_sage.init(jax.random.PRNGKey(0), latents, text, t)
+    o_sage = jax.jit(model_sage.apply)(params, latents, text, t)
+    o_ref = jax.jit(model_ref.apply)(params, latents, text, t)
+    d = calc_diff(o_sage, o_ref)
+    cos = 1.0 - d
+    status = "OK " if cos >= 0.999 else "FAIL"
+    ok &= cos >= 0.999
+    print(f"{status} CogVideoX-scale DiT block forward: cossim={cos:.6f}",
+          flush=True)
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

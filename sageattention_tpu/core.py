@@ -32,35 +32,49 @@ LOG2E = quant_ops.LOG2E
 
 
 
+# Relative kernel efficiency by tile width, measured on v5e
+# (docs/PERF_NOTES.md tile sweeps: 128-wide tiles are grid-overhead-bound at
+# ~12% of peak; 2048 is the sweet spot).  Used to trade tile quality against
+# the masked-compute cost of padding ugly sequence lengths up to the tile.
+_BLOCK_EFF = {4096: 1.02, 2048: 1.0, 1024: 0.96, 512: 0.82, 256: 0.6,
+              128: 0.15}
+
+
 def _pick_block(cap: int, seq: int) -> int:
-    """Largest power-of-two multiple of 128 that divides ``seq``, <= cap."""
-    cand = cap
-    while cand > 128:
-        if seq % cand == 0:
-            return cand
-        cand //= 2
-    return 128
+    """Block choice minimizing (padded length / efficiency): real-model
+    sequence lengths are rarely tile-friendly (CogVideoX joint seq 17776,
+    Hunyuan 32528) — padding a few % of masked rows onto a 2048-wide tile
+    beats shrinking to the 128-divisor tile by ~8x (round-1's S=1024 and
+    unaligned-seq regressions)."""
+    best_b, best_cost = 128, float("inf")
+    for b, eff in _BLOCK_EFF.items():
+        if b > cap:
+            continue
+        cost = (-(-seq // b) * b) / (max(seq, 1) * eff)
+        if cost < best_cost:
+            best_b, best_cost = b, cost
+    return best_b
 
 
-def _choose_blocks(sq_pad: int, sk_pad: int, quantized: bool,
+def _choose_blocks(sq: int, sk: int, quantized: bool,
                    compute_dtype: str = "native"):
     """Tile-size heuristic measured on v5e (docs/PERF_NOTES.md): grid-step
     overhead dominates below ~512-wide tiles; bf16-compute paths gain most
     from a small inner sub-tile (MXU/VPU interleave) while native-int8 dots
     need wide flat tiles (the static softmax removes the cross-sub-tile
-    dependency, so flat 2048x2048 wins — r2 sweep).
-    Returns (block_q, block_k, block_k_inner)."""
+    dependency, so flat 2048x2048 wins — r2 sweep).  Callers pad the seq
+    dims UP to the returned blocks.  Returns (block_q, block_k, bk_inner)."""
     if quantized and compute_dtype == "native":
-        bq = _pick_block(2048, sq_pad)
-        bk = _pick_block(2048, sk_pad)
+        bq = _pick_block(2048, sq)
+        bk = _pick_block(2048, sk)
         bki = bk
     elif quantized:  # int8 storage, bf16 compute
-        bq = _pick_block(4096, sq_pad)
-        bk = _pick_block(2048, sk_pad)
+        bq = _pick_block(4096, sq)
+        bk = _pick_block(2048, sk)
         bki = min(256, bk)
     else:
-        bq = _pick_block(1024, sq_pad)
-        bk = _pick_block(2048, sk_pad)
+        bq = _pick_block(1024, sq)
+        bk = _pick_block(2048, sk)
         bki = min(256, bk)
     return bq, bk, bki
 
@@ -129,48 +143,80 @@ def _sage_attention(
         raise ValueError(f"unknown qk_quant_gran {qk_quant_gran!r}")
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
 
-    # K mean over the true sequence, before padding (smooth_k,
-    # `core.py:772-788`): softmax is shift-invariant so only lse needs repair.
-    km = quant_ops.k_mean(k, "HND") if smooth_k else None
+    masked = "none"
+    if attn_mask is not None:
+        masked = "bool" if attn_mask.dtype == jnp.bool_ else "float"
+    if softmax_mode == "auto":
+        # static forces a bf16 P (more accurate than int8/fp8 P) and is the
+        # fastest softmax on v5e (docs/PERF_NOTES.md r2); fp8 PV keeps the
+        # online exp-offset path, float-bias masks aren't covered by the cap.
+        softmax_mode = ("static" if (pv_dtype != "fp8" and masked != "float")
+                        else "online")
+
+    use_fused = not interpret
+    if use_fused:
+        from .ops import quant_pallas as qp
 
     # Pad head_dim to {64,128,256} and seq lens to the kernel blocks.
+    # Stats (K mean, head amax, V channel stats) always cover only the TRUE
+    # sequence: padded rows would bias the mean and contribute |mean| to the
+    # amax (worst case near-constant K).  On the fused path a single-read
+    # Pallas stats kernel computes them post-pad with the pad rows masked;
+    # the jnp path computes them pre-pad.
+    km = None
+    ks_sc = None
+    vf_stats = None
+    if not use_fused:
+        km = quant_ops.k_mean(k, "HND") if smooth_k else None
     q, D = pad_head_dim(q, HND_LAYOUT)
     k, _ = pad_head_dim(k, HND_LAYOUT)
     v, _ = pad_head_dim(v, HND_LAYOUT)
     if km is not None:
         km = pad_axis(km, 3, D)
-    Sq_pad = round_up(Sq, block_q or 128)
-    Sk_pad = round_up(Sk, block_k or 128)
     if block_q and block_k:
         bq, bk, bki = block_q, block_k, block_k
     else:
-        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=True,
+        bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
                                      compute_dtype=compute_dtype)
+    Sq_pad = round_up(Sq, bq)
+    Sk_pad = round_up(Sk, bk)
     if compute_dtype == "bf16":
         k_scale_mode = "head"
     if k_scale_mode not in ("head", "fine"):
         raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
-    # Head-granularity K scale: amax over the TRUE sequence, before padding
-    # (padded rows would contribute |0 - km| = |km| and inflate the scale,
-    # wasting int8 codes — worst case near-constant K).
-    ks_sc = None
-    if k_scale_mode == "head":
-        kf = k.astype(jnp.float32)
-        amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
-                       axis=(2, 3), keepdims=True)
-        ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
-    # Per-channel V stats likewise pre-pad (pad rows would bias the mean and
-    # contribute |vm| to the channel amax).
-    vf_stats = None
-    if pv_dtype in ("int8", "fp8"):
-        vf = v.astype(jnp.float32)
-        vm_s = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
-        vc = vf - vm_s if smooth_v else vf
-        v_amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)    # [B,Hk,1,D]
-        vf_stats = (vm_s, v_amax)
+    if not use_fused:
+        if k_scale_mode == "head":
+            kf = k.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
+                           axis=(2, 3), keepdims=True)
+            ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
+        if pv_dtype in ("int8", "fp8"):
+            vf = v.astype(jnp.float32)
+            vm_s = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
+            vc = vf - vm_s if smooth_v else vf
+            v_amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)  # [B,Hk,1,D]
+            vf_stats = (vm_s, v_amax)
     q = pad_axis(q, 2, Sq_pad)
     k = pad_axis(k, 2, Sk_pad)
     v = pad_axis(v, 2, Sk_pad)
+    if use_fused:
+        kv_valid = (jnp.arange(Sk_pad) < Sk)[None, None, :, None]
+        if smooth_k:
+            km, k_amax_ch = qp.channel_stats_pallas(k, Sk)
+        elif k_scale_mode == "head":
+            # no-smoothing path (non-default): plain masked amax
+            k_amax_ch = jnp.max(jnp.abs(k.astype(jnp.float32))
+                                * kv_valid, axis=2, keepdims=True)
+        if k_scale_mode == "head":
+            amax = jnp.max(k_amax_ch, axis=3, keepdims=True)
+            ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
+        if pv_dtype in ("int8", "fp8"):
+            if smooth_v:
+                vf_stats = qp.channel_stats_pallas(v, Sk)
+            else:
+                v_amax = jnp.max(jnp.abs(v.astype(jnp.float32))
+                                 * kv_valid, axis=2, keepdims=True)
+                vf_stats = (None, v_amax)
 
     # Quantize Q/K (sm_scale*log2e folded into Q).  On TPU the fused Pallas
     # quant kernels read bf16 once / write int8 once (ops/quant_pallas.py);
@@ -178,14 +224,27 @@ def _sage_attention(
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
 
-    use_fused = not interpret
+    want_norm = use_fused and softmax_mode == "static"
+    qn2 = kn2 = None
     fold = sm_scale * LOG2E
     if use_fused:
-        from .ops import quant_pallas as qp
-        q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
+        if want_norm:
+            # single-pass quant + row norms (static-cap inputs) — avoids a
+            # second full read of the int8 tensors
+            q_i8, q_s, qn2 = qp.quant_int8_groupwise_pallas(
+                q, q_group, fold=fold, with_norm=True)
+        else:
+            q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
         if k_scale_mode == "head":
-            k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
+            if want_norm:
+                k_i8, kn2 = qp.quant_int8_fixed_pallas(
+                    k, ks_sc, sub=km, with_norm=True)
+            else:
+                k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
             k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
+        elif want_norm:
+            k_i8, k_s, kn2 = qp.quant_int8_groupwise_pallas(
+                k, k_group, sub=km, with_norm=True)
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
     elif k_scale_mode == "head":
@@ -229,7 +288,6 @@ def _sage_attention(
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
-    masked = "none"
     mask_in = None
     if attn_mask is not None:
         # bool: keep-where-true (reference triton semantics,
@@ -241,28 +299,22 @@ def _sage_attention(
         # everywhere else in JAX.  Shape [B, 1|Hq, Sq, Sk].
         if attn_mask.ndim != 4:
             raise ValueError("attn_mask must be [B, 1|H, Sq, Sk]")
-        is_bool = attn_mask.dtype == jnp.bool_
-        masked = "bool" if is_bool else "float"
         mask_in = pad_axis(pad_axis(
-            attn_mask.astype(jnp.int8 if is_bool else jnp.float32),
+            attn_mask.astype(jnp.int8 if masked == "bool" else jnp.float32),
             2, Sq_pad), 3, Sk_pad)
 
     # Static-softmax logit cap: C_i >= max_j s_ij in base-2 units, by
     # Cauchy–Schwarz on the int8 payloads: |q8_i . k8_j| <= ||q8_i|| ||k8_j||,
-    # times the (folded) scales.  Cheap O(S·D) reduces, fused by XLA into
-    # the quant pass.
-    if softmax_mode == "auto":
-        # static forces a bf16 P (more accurate than int8/fp8 P) and is the
-        # fastest softmax on v5e (docs/PERF_NOTES.md r2); fp8 PV keeps the
-        # online exp-offset path, float-bias masks aren't covered by the cap.
-        softmax_mode = ("static" if (pv_dtype != "fp8" and masked != "float")
-                        else "online")
+    # times the (folded) scales.  Norms come from the fused quant pass when
+    # available; the jnp fallback serves interpret mode.
     logit_cap = None
     static_safe = None
     if softmax_mode == "static":
-        qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
-                              axis=3, keepdims=True))          # [B,Hq,Sq,1]
-        kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3))
+        qn = (jnp.sqrt(qn2) if qn2 is not None else
+              jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                               axis=3, keepdims=True)))        # [B,Hq,Sq,1]
+        kn = (jnp.sqrt(kn2[..., 0]) if kn2 is not None else
+              jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3)))
         kn = jnp.where(jnp.arange(Sk_pad) < Sk, kn, 0.0)       # [B,Hk,Sk_pad]
         if k_scale_mode == "head":  # ks already folded into q_scale
             kn_max = jnp.max(kn, axis=2)[:, :, None, None]     # [B,Hk,1,1]
@@ -656,12 +708,12 @@ def flash_attention(
     q, D = pad_head_dim(q, HND_LAYOUT)
     k, _ = pad_head_dim(k, HND_LAYOUT)
     v, _ = pad_head_dim(v, HND_LAYOUT)
-    Sq_pad = round_up(Sq, block_q or 128)
-    Sk_pad = round_up(Sk, block_k or 128)
     if block_q and block_k:
         bq, bk, bki = block_q, block_k, block_k
     else:
-        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=False)
+        bq, bk, bki = _choose_blocks(Sq, Sk, quantized=False)
+    Sq_pad = round_up(Sq, bq)
+    Sk_pad = round_up(Sk, bk)
     q = pad_axis(q, 2, Sq_pad).astype(jnp.bfloat16)
     k = pad_axis(k, 2, Sk_pad).astype(jnp.bfloat16)
     v = pad_axis(v, 2, Sk_pad).astype(jnp.bfloat16)

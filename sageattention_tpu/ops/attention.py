@@ -182,6 +182,10 @@ def _attn_kernel(
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
     mask_ref = next(it) if cfg.masked != "none" else None
+    # block-level mask summary (bool masks): 0 = fully masked block — skip
+    # all compute, the reference triton kernel's block-skip
+    # (`attn_qk_int8_per_block.py:33-39`); nonzero = live
+    minfo_ref = next(it) if cfg.masked == "bool" else None
     o_ref = next(it)
     lse_ref = next(it)
     m_scr = next(it)
@@ -222,6 +226,8 @@ def _attn_kernel(
     else:
         q_start = kv_start = None
         run = True
+    if minfo_ref is not None:
+        run = jnp.logical_and(run, minfo_ref[0, 0, i, j] != 0)
 
     @pl.when(run)
     def _body():
@@ -469,6 +475,17 @@ def attention_call(
             (1, 1, BQ, BK),
             lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, j)))
         inputs.append(attn_mask)
+        if cfg.masked == "bool":
+            # block-level liveness summary -> dead blocks skip all compute
+            # (reference block-skip, `attn_qk_int8_per_block.py:33-39`);
+            # one (n_q, n_kv) int32 table per (b, h) rides in SMEM.
+            m6 = attn_mask.reshape(attn_mask.shape[0], Hm, n_q, BQ, n_kv, BK)
+            minfo = jnp.any(m6 != 0, axis=(3, 5)).astype(jnp.int32)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, n_q, n_kv),
+                lambda b, h, i, j: (b, 0 if Hm == 1 else h, 0, 0),
+                memory_space=pltpu.SMEM))
+            inputs.append(minfo)
 
     out_shape_o = jax.ShapeDtypeStruct((B, Hq, Sq, D), cfg.out_dtype)
     out_shapes = (out_shape_o, jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32))

@@ -209,12 +209,12 @@ def sageattn3_tiled(
 
     from ..core import _choose_blocks
     from ..utils.layout import pad_axis, round_up
-    Sq_pad = round_up(Sq, block_q or 128)
-    Sk_pad = round_up(Sk, block_k or 128)
     if block_q and block_k:
         bq, bk, bki = block_q, block_k, block_k
     else:
-        bq, bk, bki = _choose_blocks(Sq_pad, Sk_pad, quantized=False)
+        bq, bk, bki = _choose_blocks(Sq, Sk, quantized=False)
+    Sq_pad = round_up(Sq, bq)
+    Sk_pad = round_up(Sk, bk)
     qd = pad_axis(qd[:, :, :Sq], 2, Sq_pad).astype(jnp.bfloat16)
     kd = pad_axis(kd, 2, Sk_pad).astype(jnp.bfloat16)
     vd = pad_axis(vd, 2, Sk_pad).astype(jnp.bfloat16)

@@ -10,6 +10,11 @@ Three scale modes cover the pipeline:
   - "group":  per row-group scales computed in-kernel (Q, fine-grained K)
   - "scalar": one precomputed scale per (B, H) (per-head K, folded mode)
   - "channel": precomputed per-head-dim scales (per-channel V)
+
+``with_norm`` additionally emits the squared L2 norm of each quantized row
+(fp32, [B,H,S,1]) in the same pass — the static-softmax logit cap
+(ops/attention.py) needs ||q8|| and max||k8||, and computing them here
+avoids a second full read of the int8 tensors.
 """
 
 from __future__ import annotations
@@ -22,17 +27,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_S = 512  # rows per grid step (multiple of every supported group size)
+BLOCK_S = 4096  # rows per grid step (multiple of every supported group
+# size).  Must be LARGE: these kernels are pure-bandwidth, and a (1, 1,
+# block, D) grid step moves block*D*2 bytes — at 512 rows that's 131 KB per
+# step and the ~µs grid-step overhead dominates (measured: the whole quant
+# preamble ran 4x slower than HBM peak with 512-row blocks).
 
 
 def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
-                  block_s: int):
+                  block_s: int, with_norm: bool):
     it = iter(refs)
     x_ref = next(it)
     sub_ref = next(it) if has_sub else None
     sin_ref = next(it) if mode in ("scalar", "channel") else None
     out_ref = next(it)
     sout_ref = next(it) if mode == "group" else None
+    norm_ref = next(it) if with_norm else None
 
     x = x_ref[0, 0].astype(jnp.float32)            # (BLK, D)
     if has_sub:
@@ -50,17 +60,22 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
                          axis=1, keepdims=True)                   # (n_g,1,1)
         scale = jnp.where(g_amax > 0, g_amax * (1.0 / 127.0), 1.0)
         q = jnp.clip(jnp.rint(x3 * (1.0 / scale)), -127, 127)
-        out_ref[0, 0] = q.reshape(block_s, D).astype(jnp.int8)
+        q2d = q.reshape(block_s, D)  # leading-dim-only reshape (lane-safe)
+        out_ref[0, 0] = q2d.astype(jnp.int8)
         sout_ref[0, 0] = scale[:, :, 0]
+        if with_norm:
+            norm_ref[0, 0] = jnp.sum(q2d * q2d, axis=1, keepdims=True)
         return
     elif mode == "scalar":
         q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
     else:  # channel
         q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
     out_ref[0, 0] = q.astype(jnp.int8)
+    if with_norm:
+        norm_ref[0, 0] = jnp.sum(q * q, axis=1, keepdims=True)
 
 
-def _call(x, sub, scale_in, mode, group, fold, block_s, interpret):
+def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret):
     B, H, S, D = x.shape
     assert S % block_s == 0 and (mode != "group" or block_s % group == 0)
     n_blocks = S // block_s
@@ -83,10 +98,15 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, interpret):
     if mode == "group":
         out_specs.append(pl.BlockSpec((1, 1, n_g, 1), lambda b, h, i: (b, h, i, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((B, H, S // group, 1), jnp.float32))
+    if with_norm:
+        out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+                                      lambda b, h, i: (b, h, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
 
     res = pl.pallas_call(
         functools.partial(_quant_kernel, mode=mode, group=group, fold=fold,
-                          has_sub=sub is not None, block_s=block_s),
+                          has_sub=sub is not None, block_s=block_s,
+                          with_norm=with_norm),
         grid=(B, H, n_blocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
@@ -99,6 +119,74 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, interpret):
     return res
 
 
+def _stats_kernel(x_ref, mean_ref, amax_ref, sum_scr, max_scr, min_scr, *,
+                  n_blocks, block_s, s_true):
+    """Single-read per-channel stats: mean over the TRUE sequence and
+    amax(|x - mean|) per channel, via the min/max identity
+    amax(|x - m|) = max(max(x) - m, m - min(x)) — one pass where the jnp
+    version needs two (the reference's fused `MeanScaleKernel`,
+    `csrc/fused/fused.cu:316-427`)."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        sum_scr[...] = jnp.zeros_like(sum_scr)
+        max_scr[...] = jnp.full_like(max_scr, -3e38)
+        min_scr[...] = jnp.full_like(min_scr, 3e38)
+
+    x = x_ref[0, 0].astype(jnp.float32)             # (block_s, D)
+    if s_true % block_s:
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * block_s
+        valid = rows < s_true
+        xs = jnp.where(valid, x, 0.0)
+        xmax = jnp.where(valid, x, -3e38)
+        xmin = jnp.where(valid, x, 3e38)
+    else:
+        xs = xmax = xmin = x
+    sum_scr[...] += jnp.sum(xs, axis=0, keepdims=True)
+    max_scr[...] = jnp.maximum(max_scr[...], jnp.max(xmax, axis=0, keepdims=True))
+    min_scr[...] = jnp.minimum(min_scr[...], jnp.min(xmin, axis=0, keepdims=True))
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        mean = sum_scr[...] * (1.0 / s_true)
+        mean_ref[0, 0] = mean
+        amax_ref[0, 0] = jnp.maximum(max_scr[...] - mean, mean - min_scr[...])
+
+
+def channel_stats_pallas(x, s_true: int, interpret: bool = False):
+    """[B,H,S,D] -> (mean [B,H,1,D], amax(|x-mean|) [B,H,1,D]), one read.
+
+    ``s_true``: true sequence length (pad rows excluded from both stats).
+    """
+    B, H, S, D = x.shape
+    bs = _block_s_for(S, 1)
+    assert bs, x.shape
+    n_blocks = S // bs
+    mean, amax = pl.pallas_call(
+        functools.partial(_stats_kernel, n_blocks=n_blocks, block_s=bs,
+                          s_true=s_true),
+        grid=(B, H, n_blocks),
+        in_specs=[pl.BlockSpec((1, 1, bs, D), lambda b, h, i: (b, h, i, 0))],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32),
+                        pltpu.VMEM((1, D), jnp.float32),
+                        pltpu.VMEM((1, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x)
+    return mean, amax
+
+
 def _block_s_for(S: int, group: int) -> int:
     bs = BLOCK_S
     while bs > group and S % bs != 0:
@@ -107,19 +195,28 @@ def _block_s_for(S: int, group: int) -> int:
 
 
 def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
+                                with_norm: bool = False,
                                 interpret: bool = False):
-    """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group])."""
+    """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group]
+    [, row sq-norms [B,H,S,1]])."""
     bs = _block_s_for(x.shape[2], group)
     assert bs, (x.shape, group)
-    out, scales = _call(x, sub, None, "group", group, fold, bs, interpret)
+    res = _call(x, sub, None, "group", group, fold, bs, with_norm, interpret)
+    if with_norm:
+        out, scales, norm2 = res
+        return out, scales[..., 0], norm2
+    out, scales = res
     return out, scales[..., 0]
 
 
 def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,
+                            with_norm: bool = False,
                             interpret: bool = False):
     """Fused quant with a precomputed scale: ``scale`` is [B,H,1,1]
-    (per-head) or [B,H,1,D] (per-channel)."""
+    (per-head) or [B,H,1,D] (per-channel).  Returns int8 (+ row sq-norms
+    when asked)."""
     mode = "scalar" if scale.shape[-1] == 1 else "channel"
     bs = _block_s_for(x.shape[2], 1)
     assert bs, x.shape
-    return _call(x, sub, scale.astype(jnp.float32), mode, bs, fold, bs, interpret)
+    return _call(x, sub, scale.astype(jnp.float32), mode, bs, fold, bs,
+                 with_norm, interpret)

@@ -105,10 +105,10 @@ def sageattn_varlen(
         pv_dtype = "int8"
 
     from .core import _choose_blocks
-    Tq_pad = round_up(Tq, 128)
-    Tk_pad = round_up(Tk, 128)
     block_q, block_k, block_k_inner = _choose_blocks(
-        Tq_pad, Tk_pad, quantized=True, compute_dtype=compute_dtype)
+        Tq, Tk, quantized=True, compute_dtype=compute_dtype)
+    Tq_pad = round_up(Tq, block_q)
+    Tk_pad = round_up(Tk, block_k)
 
     # Pack as B=1 HND: [total, H, D] -> [1, H, total_pad, D].
     qb = jnp.swapaxes(pad_axis(q[None], 1, Tq_pad), 1, 2)

@@ -52,6 +52,21 @@ class TestAttnMask:
         tri = jnp.tril(jnp.ones((256, 256), bool))[None, None]
         assert calc_diff(out, masked_oracle(q, k, v, mask & tri)) < 1e-3
 
+    def test_block_sparse_mask(self):
+        """Entire 128-blocks masked out — exercises the block-skip path
+        (dead blocks never run; rows with zero live blocks output 0)."""
+        q, k, v = qkv(S=512)
+        keep = jnp.ones((1, 1, 512, 512), bool)
+        keep = keep.at[:, :, :, 128:384].set(False)   # kill 2 kv blocks
+        keep = keep.at[:, :, 256:384, :].set(False)   # kill a full q block
+        out = sa.sageattn_qk_int8_pv_bf16(q, k, v, attn_mask=keep)
+        ref = masked_oracle(q, k, v, keep)
+        # fully-masked q rows: kernel outputs 0, oracle softmax is uniform —
+        # compare live rows, check dead rows are 0
+        live = np.r_[0:256, 384:512]
+        assert calc_diff(out[:, :, live], ref[:, :, live]) < 1e-3
+        assert float(jnp.max(jnp.abs(out[:, :, 256:384]))) == 0.0
+
     def test_mask_via_jax_nn_adapter(self):
         from sageattention_tpu.models import sage_dot_product_attention
         q, k, v = qkv()

@@ -55,3 +55,34 @@ def test_unaligned_seq_uses_smaller_block():
     out_p, s_p = qp.quant_int8_groupwise_pallas(x, 32, interpret=True)
     out_j, s_j = quant.quant_int8_groupwise(x, 32)
     np.testing.assert_array_equal(np.asarray(out_p), np.asarray(out_j))
+
+
+def test_groupwise_with_norm():
+    x = rand((1, 2, 512, 64), key=5)
+    out, s, n2 = qp.quant_int8_groupwise_pallas(x, 32, fold=0.5,
+                                                with_norm=True, interpret=True)
+    ref = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=3, keepdims=True)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(ref), rtol=1e-6)
+
+
+def test_fixed_with_norm():
+    x = rand((1, 1, 256, 64), key=6)
+    scale = jnp.full((1, 1, 1, 1), 0.02, jnp.float32)
+    out, n2 = qp.quant_int8_fixed_pallas(x, scale, with_norm=True,
+                                         interpret=True)
+    ref = jnp.sum(jnp.square(out.astype(jnp.float32)), axis=3, keepdims=True)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(ref), rtol=1e-6)
+
+
+def test_channel_stats():
+    x = rand((1, 2, 512, 64), key=7, scale=3.0)
+    s_true = 400  # pad rows (>= 400) must not contaminate the stats
+    x = x.at[:, :, 400:].set(99.0)
+    mean, amax = qp.channel_stats_pallas(x, s_true, interpret=True)
+    ref_mean = jnp.mean(x[:, :, :400].astype(jnp.float32), axis=2, keepdims=True)
+    ref_amax = jnp.max(jnp.abs(x[:, :, :400].astype(jnp.float32) - ref_mean),
+                       axis=2, keepdims=True)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(amax), np.asarray(ref_amax),
+                               rtol=1e-5, atol=1e-5)

@@ -325,20 +325,36 @@ def _sage_attention(
         # 1+1e-5 absorbs f32 rounding of the norms so C is a true bound
         logit_cap = q_scale * qn * kn_max * (1.0 + 1e-5)
         # Safety: exp2(s - C) underflows when C - row_max > ~bf16 exponent
-        # range.  A cheap LOWER bound on the row max caps the slack:
-        # with smooth_k the smoothed logits have row mean exactly 0, so
-        # row_max >= 0; otherwise row_max >= row mean = q . km_all.  The
-        # call is static-safe iff slack <= 80 log2 units for every row
-        # (pathological only for unnormalized data — real attention logits
-        # sit at O(30)); unsafe calls run the online kernel via lax.cond.
+        # range.  Cheap LOWER bounds on the row max cap the slack:
+        #   - smooth_k: the smoothed logits have row mean exactly 0, so
+        #     row_max >= 0 (else row mean = q . km_all);
+        #   - Sq == Sk self-attention (masks aside, the diagonal is visible
+        #     under both dense and causal): row_max >= the diagonal logit
+        #     q_i . k_i — nearly tight for real (peaked) attention, so
+        #     large-but-correlated logits stay on the static path.
+        # The call is static-safe iff slack <= 80 log2 units for every row;
+        # unsafe calls run the online kernel via lax.cond (same bf16-P
+        # numerics, just the running-max bookkeeping back).
         if smooth_k:
-            row_lo = 0.0
+            row_lo = jnp.zeros_like(logit_cap)
         else:
             km_all = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
             if Hq != Hk:
                 km_all = jnp.repeat(km_all, Hq // Hk, axis=1)
             row_lo = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
                                 km_all)[..., None] * (sm_scale * LOG2E)
+        # (bool masks could hide the diagonal, so they keep the weaker bound)
+        if Sq == Sk and Sq_pad == Sk_pad and masked == "none":
+            k8_rep = (jnp.repeat(k_i8, Hq // Hk, axis=1) if Hq != Hk else k_i8)
+            diag = jnp.sum(q_i8.astype(jnp.float32)
+                           * k8_rep.astype(jnp.float32), axis=3, keepdims=True)
+            diag = diag * q_scale  # folded scales (head mode)
+            if k_scale_mode != "head":
+                ks_row = jnp.swapaxes(k_scale, 2, 3)  # [B,Hk,Sk,1]
+                if Hq != Hk:
+                    ks_row = jnp.repeat(ks_row, Hq // Hk, axis=1)
+                diag = diag * ks_row
+            row_lo = jnp.maximum(row_lo, diag)
         static_safe = jnp.all(logit_cap - row_lo <= 80.0)
 
     def _call(mode):
@@ -348,6 +364,8 @@ def _sage_attention(
             out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
             masked=masked, fold_k_scale=(k_scale_mode == "head"),
             compute_dtype=compute_dtype, softmax_mode=mode,
+            # keep P bf16 in the fallback so both cond branches share numerics
+            pv_via_bf16=(mode == "online" and softmax_mode == "static"),
         )
         return attention_call(
             q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,

@@ -102,6 +102,10 @@ class AttnConfig:
     masked: str = "none"     # "none" | "bool" | "float" — user attn_mask
     # (bool: keep where true; float: additive bias in natural-log units,
     # like the reference triton path `attn_qk_int8_per_block.py:33-39`)
+    pv_via_bf16: bool = False  # force the bf16-P path (V converted in-kernel
+    # when stored int8) even under the online softmax — used by the static
+    # path's unsafe-input fallback so both lax.cond branches share the same
+    # (more accurate) P numerics and differ only in softmax bookkeeping.
     p_sim_fp4: bool = False  # SageAttention3 accuracy simulation: quantize
     # the P tile onto the e2m1 grid (scale = row absmax/6) before the PV dot
     # — the tiled, O(S)-memory analogue of the reference's fused P
@@ -132,7 +136,8 @@ class AttnConfig:
         quantization codes)."""
         return (not self.quantized or self.pv_dtype == "bf16"
                 or self.compute_dtype == "bf16"
-                or self.softmax_mode == "static")
+                or self.softmax_mode == "static"
+                or self.pv_via_bf16)
 
 
 def _round_e2m1_tile(p, pmax):

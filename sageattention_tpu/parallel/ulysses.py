@@ -24,8 +24,15 @@ from .mesh import SP
 
 
 def _ulysses_body(q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran,
-                  pv_dtype, interpret):
-    """q/k/v local shards [B, H, S/n, D] (HND) -> output [B, H, S/n, D]."""
+                  pv_dtype, interpret, n):
+    """q/k/v local shards [B, H, S/n, D] (HND) -> output [B, Hq, S/n, D].
+
+    GQA: when the KV heads don't divide by the ulysses degree, K/V are
+    all-gathered along the sequence instead and each device slices the KV
+    head(s) its contiguous q-head chunk maps to (replication is inherent
+    when Hk < degree — same tradeoff as Ulysses-GQA in Megatron/xDiT)."""
+    Hk = k.shape[1]
+
     # heads -> devices, gather sequence: [B, H/n, S, D]
     def scatter_heads(x):
         return jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
@@ -35,7 +42,27 @@ def _ulysses_body(q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran,
         return jax.lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
                                   tiled=True)
 
-    qg, kg, vg = scatter_heads(q), scatter_heads(k), scatter_heads(v)
+    qg = scatter_heads(q)
+    if Hk % n == 0:
+        kg, vg = scatter_heads(k), scatter_heads(v)
+    else:
+        # gather full KV sequence, slice this device's kv-head range
+        Hq = q.shape[1]
+        G = Hq // Hk
+        hq_loc = Hq // n
+        idx = jax.lax.axis_index(axis_name)
+        k_full = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+        if hq_loc % G == 0:
+            span = hq_loc // G
+        else:
+            assert G % hq_loc == 0, (
+                f"ulysses GQA needs the per-device q-head chunk ({hq_loc}) "
+                f"and the group size ({G}) to divide one another")
+            span = 1
+        start = (idx * hq_loc) // G
+        kg = jax.lax.dynamic_slice_in_dim(k_full, start, span, axis=1)
+        vg = jax.lax.dynamic_slice_in_dim(v_full, start, span, axis=1)
     out = core_api._route(
         qg, kg, vg, tensor_layout="HND", is_causal=is_causal,
         sm_scale=sm_scale, qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
@@ -55,9 +82,12 @@ def ulysses_sageattn(
 ):
     """Sequence-parallel attention via head scatter / seq gather.
 
-    Global HND arrays [B, H, S, D]; requires H % axis_size == 0.
+    Global HND arrays: q [B, Hq, S, D], k/v [B, Hk, S, D] with
+    Hq % Hk == 0 (GQA).  Requires Hq % axis_size == 0; KV heads either
+    divide by the degree (scattered) or are all-gathered and sliced.
     """
     B, H, S, D = q.shape
+    Hk = k.shape[1]
     if sm_scale is None:
         sm_scale = 1.0 / (D ** 0.5)
     if pv_dtype is None:
@@ -65,12 +95,13 @@ def ulysses_sageattn(
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
-    assert H % n == 0, f"heads {H} must divide by ulysses degree {n}"
+    assert H % n == 0, f"q heads {H} must divide by ulysses degree {n}"
+    assert H % Hk == 0, f"q heads {H} must be a multiple of kv heads {Hk}"
 
     body = functools.partial(
         _ulysses_body, axis_name=axis_name, is_causal=is_causal,
         sm_scale=sm_scale, qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
-        interpret=interpret)
+        interpret=interpret, n=n)
     spec = P(None, None, axis_name, None)
     return shard_map(body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
                      check_vma=False)(q, k, v)

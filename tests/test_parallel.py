@@ -87,3 +87,41 @@ class TestRingFlagship:
         out = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
                             compute_dtype="bf16", is_causal=True)
         assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+
+def qkv_gqa(B=1, Hq=8, Hk=2, S=1024, D=64):
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, Hk, S, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, Hk, S, D), jnp.float32)
+    return q, k, v
+
+
+class TestGQAParallel:
+    def test_ring_gqa(self, mesh4):
+        q, k, v = qkv_gqa()
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_ring_gqa_causal_int8pv(self, mesh4):
+        q, k, v = qkv_gqa()
+        out = ring_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="int8")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1.5e-3
+
+    def test_ulysses_gqa_kv_divisible(self, mesh4):
+        # Hk=4 divides the degree 4: KV heads scatter normally
+        q, k, v = qkv_gqa(Hq=8, Hk=4)
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_ulysses_gqa_kv_gathered(self, mesh4):
+        # Hk=2 < degree 4: KV all-gathered, each device slices its head
+        q, k, v = qkv_gqa(Hq=8, Hk=2)
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_ulysses_gqa_one_kv_head(self, mesh4):
+        # MQA: single KV head shared by every device
+        q, k, v = qkv_gqa(Hq=4, Hk=1)
+        out = ulysses_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3

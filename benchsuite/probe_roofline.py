@@ -42,9 +42,10 @@ from sageattention_tpu.dispatch import default_interpret  # noqa: E402
 
 
 def _anatomy_kernel(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr,
-                    *, softmax: str, n_kv: int):
+                    *, softmax: str, n_kv: int, cast_int4: bool = False):
     """Minimal flash-structured kernel: grid (BH, n_q, n_kv), flat tiles.
-    ``softmax``: "online" | "static" | "none"."""
+    ``softmax``: "online" | "static" | "none".  ``cast_int4``: cast int8
+    Q/K to int4 before the dot (4-bit MXU rate probe)."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -56,6 +57,9 @@ def _anatomy_kernel(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr,
     k = k_ref[0]
     v = v_ref[0]
     if q.dtype == jnp.int8:
+        if cast_int4:
+            q = q.astype(jnp.int4)
+            k = k.astype(jnp.int4)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32
                                 ).astype(jnp.float32) * 1.7e-4
@@ -69,11 +73,11 @@ def _anatomy_kernel(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr,
         p = jnp.exp2(s - 40.0)
         l_scr[...] = l_scr[...] + jnp.sum(p, axis=1, keepdims=True)
     else:  # online
-        m_prev = l_scr[...]  # reuse as running max for simplicity
+        m_prev = l_scr[...]  # (BQ, 128) lane-replicated running max
         m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
         alpha = jnp.exp2(m_prev - m_next)
-        p = jnp.exp2(s - m_next)
+        p = jnp.exp2(s - jnp.broadcast_to(m_next[:, :1], s.shape))
         acc_scr[...] = acc_scr[...] * jnp.broadcast_to(
             alpha[:, :1], acc_scr.shape)
         l_scr[...] = m_next
@@ -90,6 +94,9 @@ def _anatomy_kernel(q_ref, k_ref, v_ref, o_ref, acc_scr, l_scr,
 def probe_anatomy(qk_dtype="int8", softmax="static", BH=128, S=8192, D=128,
                   BQ=2048, BK=2048, reps=8, interpret=False):
     key = jax.random.PRNGKey(0)
+    cast_int4 = qk_dtype == "int4"
+    if cast_int4:
+        qk_dtype = "int8"  # payloads ship int8, cast to int4 in-kernel
     if qk_dtype == "int8":
         q = (jax.random.normal(key, (BH, S, D)) * 30).astype(jnp.int8)
         k = (jax.random.normal(jax.random.PRNGKey(1), (BH, S, D)) * 30
@@ -100,7 +107,8 @@ def probe_anatomy(qk_dtype="int8", softmax="static", BH=128, S=8192, D=128,
     v = jax.random.normal(jax.random.PRNGKey(2), (BH, S, D), jnp.bfloat16)
 
     fn = pl.pallas_call(
-        functools.partial(_anatomy_kernel, softmax=softmax, n_kv=S // BK),
+        functools.partial(_anatomy_kernel, softmax=softmax, n_kv=S // BK,
+                          cast_int4=cast_int4),
         grid=(BH, S // BQ, S // BK),
         in_specs=[
             pl.BlockSpec((1, BQ, D), lambda b, i, j: (b, i, 0)),
@@ -129,6 +137,7 @@ def main():
         ("bf16-online (flash structure)", "bf16", "online"),
         ("int8-online", "int8", "online"),
         ("int8-static (flagship structure)", "int8", "static"),
+        ("int4-noexp (4-bit MXU probe)", "int4", "none"),
     ]:
         tf = probe_anatomy(qk, sm, interpret=interp)
         rows[label] = round(tf, 1)

@@ -227,14 +227,9 @@ def _sage_attention(
     want_norm = use_fused and softmax_mode == "static"
     qn2 = kn2 = None
     fold = sm_scale * LOG2E
+    diag_raw = None
     if use_fused:
-        if want_norm:
-            # single-pass quant + row norms (static-cap inputs) — avoids a
-            # second full read of the int8 tensors
-            q_i8, q_s, qn2 = qp.quant_int8_groupwise_pallas(
-                q, q_group, fold=fold, with_norm=True)
-        else:
-            q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
+        # K first: its int8 payload feeds the fused diag-dot in the Q pass
         if k_scale_mode == "head":
             if want_norm:
                 k_i8, kn2 = qp.quant_int8_fixed_pallas(
@@ -247,6 +242,18 @@ def _sage_attention(
                 k, k_group, sub=km, with_norm=True)
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
+        # single-pass Q quant + row norms (static-cap inputs) + diagonal
+        # logits (row-max lower bound) — avoids separate full reads
+        want_diag = (want_norm and Sq == Sk and Sq_pad == Sk_pad
+                     and masked == "none")
+        if want_diag:
+            q_i8, q_s, qn2, diag_raw = qp.quant_int8_groupwise_pallas(
+                q, q_group, fold=fold, with_norm=True, dot_with=k_i8)
+        elif want_norm:
+            q_i8, q_s, qn2 = qp.quant_int8_groupwise_pallas(
+                q, q_group, fold=fold, with_norm=True)
+        else:
+            q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
     elif k_scale_mode == "head":
         q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=fold)
         kf = k.astype(jnp.float32)
@@ -345,9 +352,14 @@ def _sage_attention(
                                 km_all)[..., None] * (sm_scale * LOG2E)
         # (bool masks could hide the diagonal, so they keep the weaker bound)
         if Sq == Sk and Sq_pad == Sk_pad and masked == "none":
-            k8_rep = (jnp.repeat(k_i8, Hq // Hk, axis=1) if Hq != Hk else k_i8)
-            diag = jnp.sum(q_i8.astype(jnp.float32)
-                           * k8_rep.astype(jnp.float32), axis=3, keepdims=True)
+            if diag_raw is not None:  # fused into the Q quant pass
+                diag = diag_raw
+            else:
+                k8_rep = (jnp.repeat(k_i8, Hq // Hk, axis=1)
+                          if Hq != Hk else k_i8)
+                diag = jnp.sum(q_i8.astype(jnp.float32)
+                               * k8_rep.astype(jnp.float32),
+                               axis=3, keepdims=True)
             diag = diag * q_scale  # folded scales (head mode)
             if k_scale_mode != "head":
                 ks_row = jnp.swapaxes(k_scale, 2, 3)  # [B,Hk,Sk,1]

@@ -35,14 +35,16 @@ BLOCK_S = 4096  # rows per grid step (multiple of every supported group
 
 
 def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
-                  block_s: int, with_norm: bool):
+                  block_s: int, with_norm: bool, with_dot: bool = False):
     it = iter(refs)
     x_ref = next(it)
     sub_ref = next(it) if has_sub else None
     sin_ref = next(it) if mode in ("scalar", "channel") else None
+    dotw_ref = next(it) if with_dot else None
     out_ref = next(it)
     sout_ref = next(it) if mode == "group" else None
     norm_ref = next(it) if with_norm else None
+    dot_ref = next(it) if with_dot else None
 
     x = x_ref[0, 0].astype(jnp.float32)            # (BLK, D)
     if has_sub:
@@ -65,6 +67,11 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
         sout_ref[0, 0] = scale[:, :, 0]
         if with_norm:
             norm_ref[0, 0] = jnp.sum(q2d * q2d, axis=1, keepdims=True)
+        if with_dot:
+            # row dot with a same-shaped int8 operand (diag logits for the
+            # static-softmax lower bound), fused into this read pass
+            w = dotw_ref[0, 0].astype(jnp.float32)
+            dot_ref[0, 0] = jnp.sum(q2d * w, axis=1, keepdims=True)
         return
     elif mode == "scalar":
         q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
@@ -75,7 +82,8 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
         norm_ref[0, 0] = jnp.sum(q * q, axis=1, keepdims=True)
 
 
-def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret):
+def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
+          dot_with=None):
     B, H, S, D = x.shape
     assert S % block_s == 0 and (mode != "group" or block_s % group == 0)
     n_blocks = S // block_s
@@ -92,6 +100,11 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret):
     elif mode == "channel":
         in_specs.append(pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0)))
         inputs.append(scale_in)
+    if dot_with is not None:
+        Gh = H // dot_with.shape[1]  # GQA: dot operand may have fewer heads
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_s, D), lambda b, h, i: (b, h // Gh, i, 0)))
+        inputs.append(dot_with)
 
     out_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
@@ -102,11 +115,15 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret):
         out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
                                       lambda b, h, i: (b, h, i, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+    if dot_with is not None:
+        out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+                                      lambda b, h, i: (b, h, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
 
     res = pl.pallas_call(
         functools.partial(_quant_kernel, mode=mode, group=group, fold=fold,
                           has_sub=sub is not None, block_s=block_s,
-                          with_norm=with_norm),
+                          with_norm=with_norm, with_dot=dot_with is not None),
         grid=(B, H, n_blocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
@@ -195,18 +212,21 @@ def _block_s_for(S: int, group: int) -> int:
 
 
 def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
-                                with_norm: bool = False,
+                                with_norm: bool = False, dot_with=None,
                                 interpret: bool = False):
     """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group]
-    [, row sq-norms [B,H,S,1]])."""
+    [, row sq-norms [B,H,S,1]] [, row dots vs ``dot_with`` [B,H,S,1]]).
+
+    ``dot_with``: optional int8 [B,Hk,S,D] (Hk divides H) — emits the
+    per-row dot sum(x_int8 * dot_with) in the same pass (the diagonal-logit
+    lower bound for the static softmax)."""
     bs = _block_s_for(x.shape[2], group)
     assert bs, (x.shape, group)
-    res = _call(x, sub, None, "group", group, fold, bs, with_norm, interpret)
-    if with_norm:
-        out, scales, norm2 = res
-        return out, scales[..., 0], norm2
-    out, scales = res
-    return out, scales[..., 0]
+    res = _call(x, sub, None, "group", group, fold, bs, with_norm, interpret,
+                dot_with=dot_with)
+    res = list(res) if isinstance(res, tuple) else [res]
+    res[1] = res[1][..., 0]
+    return tuple(res)
 
 
 def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,

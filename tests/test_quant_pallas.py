@@ -86,3 +86,13 @@ def test_channel_stats():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(amax), np.asarray(ref_amax),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_groupwise_with_dot():
+    x = rand((1, 4, 256, 64), key=8)
+    w8 = (rand((1, 2, 256, 64), key=9) * 30).astype(jnp.int8)  # GQA operand
+    out, s, n2, dot = qp.quant_int8_groupwise_pallas(
+        x, 4, fold=0.3, with_norm=True, dot_with=w8, interpret=True)
+    w_rep = jnp.repeat(w8, 2, axis=1).astype(jnp.float32)
+    ref = jnp.sum(out.astype(jnp.float32) * w_rep, axis=3, keepdims=True)
+    np.testing.assert_allclose(np.asarray(dot), np.asarray(ref), rtol=1e-6)

@@ -130,6 +130,9 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
+            # large row blocks + f32 intermediates overflow the 16 MB
+            # default scoped-vmem allowance (v5e has 128 MB physical)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
@@ -198,6 +201,7 @@ def channel_stats_pallas(x, s_true: int, interpret: bool = False):
                         pltpu.VMEM((1, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x)

@@ -178,6 +178,19 @@ def _sage_attention(
     else:
         bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
                                      compute_dtype=compute_dtype)
+        if compute_dtype == "native" and min(bq, bk) < 512:
+            # Mosaic cannot lower int8 x int8 dots at sub-512 tiles ("Bad
+            # lhs type", found by the compiled TPU test lane) — and int8
+            # dots have no rate advantage there anyway (docs/PERF_NOTES.md):
+            # small shapes run the int8-storage / bf16-compute kernel.
+            # fp8 PV needs the native path (fp8 P) — pad its tiles to 512.
+            if pv_dtype == "fp8":
+                bq, bk = max(bq, 512), max(bk, 512)
+                bki = bk
+            else:
+                compute_dtype = "bf16"
+                bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
+                                             compute_dtype="bf16")
     Sq_pad = round_up(Sq, bq)
     Sk_pad = round_up(Sk, bk)
     if compute_dtype == "bf16":
@@ -227,9 +240,7 @@ def _sage_attention(
     want_norm = use_fused and softmax_mode == "static"
     qn2 = kn2 = None
     fold = sm_scale * LOG2E
-    diag_raw = None
     if use_fused:
-        # K first: its int8 payload feeds the fused diag-dot in the Q pass
         if k_scale_mode == "head":
             if want_norm:
                 k_i8, kn2 = qp.quant_int8_fixed_pallas(
@@ -242,14 +253,8 @@ def _sage_attention(
                 k, k_group, sub=km, with_norm=True)
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
-        # single-pass Q quant + row norms (static-cap inputs) + diagonal
-        # logits (row-max lower bound) — avoids separate full reads
-        want_diag = (want_norm and Sq == Sk and Sq_pad == Sk_pad
-                     and masked == "none")
-        if want_diag:
-            q_i8, q_s, qn2, diag_raw = qp.quant_int8_groupwise_pallas(
-                q, q_group, fold=fold, with_norm=True, dot_with=k_i8)
-        elif want_norm:
+        # single-pass Q quant + row norms (static-cap inputs)
+        if want_norm:
             q_i8, q_s, qn2 = qp.quant_int8_groupwise_pallas(
                 q, q_group, fold=fold, with_norm=True)
         else:
@@ -350,24 +355,32 @@ def _sage_attention(
                 km_all = jnp.repeat(km_all, Hq // Hk, axis=1)
             row_lo = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
                                 km_all)[..., None] * (sm_scale * LOG2E)
-        # (bool masks could hide the diagonal, so they keep the weaker bound)
+        safe_base = jnp.all(logit_cap - row_lo <= 80.0)
+        # Tighter (but costlier — a full q8/k8 read) bound: the diagonal
+        # logit q_i.k_i is always a visible logit for equal-length
+        # attention and is nearly tight for peaked real data.  Computed
+        # LAZILY via lax.cond: normal data (cap <= 80) never pays for it.
+        # (bool masks could hide the diagonal, so they keep the base bound)
         if Sq == Sk and Sq_pad == Sk_pad and masked == "none":
-            if diag_raw is not None:  # fused into the Q quant pass
-                diag = diag_raw
-            else:
+            def _diag_safe():
                 k8_rep = (jnp.repeat(k_i8, Hq // Hk, axis=1)
                           if Hq != Hk else k_i8)
                 diag = jnp.sum(q_i8.astype(jnp.float32)
                                * k8_rep.astype(jnp.float32),
                                axis=3, keepdims=True)
-            diag = diag * q_scale  # folded scales (head mode)
-            if k_scale_mode != "head":
-                ks_row = jnp.swapaxes(k_scale, 2, 3)  # [B,Hk,Sk,1]
-                if Hq != Hk:
-                    ks_row = jnp.repeat(ks_row, Hq // Hk, axis=1)
-                diag = diag * ks_row
-            row_lo = jnp.maximum(row_lo, diag)
-        static_safe = jnp.all(logit_cap - row_lo <= 80.0)
+                diag = diag * q_scale  # folded scales (head mode)
+                if k_scale_mode != "head":
+                    ks_row = jnp.swapaxes(k_scale, 2, 3)  # [B,Hk,Sk,1]
+                    if Hq != Hk:
+                        ks_row = jnp.repeat(ks_row, Hq // Hk, axis=1)
+                    diag = diag * ks_row
+                lo = jnp.maximum(row_lo, diag)
+                return jnp.all(logit_cap - lo <= 80.0)
+
+            static_safe = jax.lax.cond(
+                safe_base, lambda: jnp.bool_(True), _diag_safe)
+        else:
+            static_safe = safe_base
 
     def _call(mode):
         cfg = AttnConfig(

@@ -107,6 +107,15 @@ def sageattn_varlen(
     from .core import _choose_blocks
     block_q, block_k, block_k_inner = _choose_blocks(
         Tq, Tk, quantized=True, compute_dtype=compute_dtype)
+    if compute_dtype == "native" and min(block_q, block_k) < 512:
+        # sub-512 int8 dots don't lower in Mosaic (see core._sage_attention)
+        if pv_dtype == "fp8":
+            block_q, block_k = max(block_q, 512), max(block_k, 512)
+            block_k_inner = block_k
+        else:
+            compute_dtype = "bf16"
+            block_q, block_k, block_k_inner = _choose_blocks(
+                Tq, Tk, quantized=True, compute_dtype="bf16")
     Tq_pad = round_up(Tq, block_q)
     Tk_pad = round_up(Tk, block_k)
 

@@ -31,7 +31,10 @@ if not ON_TPU_LANE:
     # env-derived platform config — override it explicitly (backend not yet
     # initialized).
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
+    # CPU oracle accuracy: fp32 dots everywhere.  Do NOT set this in the
+    # TPU lane — "highest" forces fp32 contract precision onto bf16/int8
+    # Mosaic matmuls, which fails to lower ("Bad lhs type").
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_collection_modifyitems(config, items):

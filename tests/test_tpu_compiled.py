@@ -54,11 +54,21 @@ class TestCompiledForward:
         assert calc_diff(out, jnp.swapaxes(sdpa(q, k, v), 1, 2)) < 1e-3
 
     def test_pv_int8_native_compute(self):
-        q, k, v = mk(key=3)
+        # S=1024 so the tiles are >=512-wide and the int8 dots really
+        # compile (small shapes demote to bf16 compute — Mosaic can't
+        # lower sub-512 int8 matmuls)
+        q, k, v = mk(Sq=1024, Sk=1024, key=3)
         out = sa.sageattn_qk_int8_pv_int8(q, k, v, compute_dtype="native",
                                           k_scale_mode="fine",
                                           softmax_mode="online")
         assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3
+
+    def test_native_static_flagship_shape(self):
+        # the flagship configuration exactly as dispatched at S=2048
+        q, k, v = mk(Sq=2048, Sk=2048, key=10)
+        out = sa.sageattn(q, k, v, compute_dtype="native", pv_dtype="int8",
+                          softmax_mode="static")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
 
     def test_static_equals_online_compiled(self):
         q, k, v = mk(key=4)

@@ -179,10 +179,9 @@ def _sage_attention(
         bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
                                      compute_dtype=compute_dtype)
         if compute_dtype == "native" and min(bq, bk) < 512:
-            # Mosaic cannot lower int8 x int8 dots at sub-512 tiles ("Bad
-            # lhs type", found by the compiled TPU test lane) — and int8
-            # dots have no rate advantage there anyway (docs/PERF_NOTES.md):
-            # small shapes run the int8-storage / bf16-compute kernel.
+            # int8 MXU dots have no rate advantage below ~512-wide tiles
+            # (docs/PERF_NOTES.md): small shapes run the int8-storage /
+            # bf16-compute kernel, whose sub-tile interleave wins there.
             # fp8 PV needs the native path (fp8 P) — pad its tiles to 512.
             if pv_dtype == "fp8":
                 bq, bk = max(bq, 512), max(bk, 512)

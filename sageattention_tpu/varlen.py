@@ -108,7 +108,7 @@ def sageattn_varlen(
     block_q, block_k, block_k_inner = _choose_blocks(
         Tq, Tk, quantized=True, compute_dtype=compute_dtype)
     if compute_dtype == "native" and min(block_q, block_k) < 512:
-        # sub-512 int8 dots don't lower in Mosaic (see core._sage_attention)
+        # sub-512 tiles: int8 dots have no advantage (see core._sage_attention)
         if pv_dtype == "fp8":
             block_q, block_k = max(block_q, 512), max(block_k, 512)
             block_k_inner = block_k

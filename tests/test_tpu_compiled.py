@@ -54,9 +54,8 @@ class TestCompiledForward:
         assert calc_diff(out, jnp.swapaxes(sdpa(q, k, v), 1, 2)) < 1e-3
 
     def test_pv_int8_native_compute(self):
-        # S=1024 so the tiles are >=512-wide and the int8 dots really
-        # compile (small shapes demote to bf16 compute — Mosaic can't
-        # lower sub-512 int8 matmuls)
+        # S=1024 so the tiles are >=512-wide and the native int8-dot path
+        # is actually exercised (smaller shapes demote to bf16 compute)
         q, k, v = mk(Sq=1024, Sk=1024, key=3)
         out = sa.sageattn_qk_int8_pv_int8(q, k, v, compute_dtype="native",
                                           k_scale_mode="fine",

@@ -138,7 +138,16 @@ class DiT(nn.Module):
         c = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="t_embed2")(nn.silu(c))
 
         for i in range(cfg.depth):
-            x = JointBlock(cfg, self.attn_fn, name=f"block_{i}")(x, c)
+            # per-layer attention selection: the reference's model patches
+            # swap attention processors per block and skip fragile layers
+            # (`example/modify_model/modify_mochi.py:112-119` skips the last
+            # layer); attn_fn may be a callable OR a layer-index -> callable
+            fn = self.attn_fn
+            if fn is not None and not callable(fn):
+                raise TypeError("attn_fn must be callable")
+            if fn is not None and getattr(fn, "_per_layer", False):
+                fn = fn(i)
+            x = JointBlock(cfg, fn, name=f"block_{i}")(x, c)
 
         x = x[:, cfg.text_len:]  # drop text tokens
         x = nn.LayerNorm(dtype=cfg.dtype)(x)

@@ -74,6 +74,27 @@ def sage_dot_product_attention(
                     **kwargs)
 
 
+def layered_attention(default_fn=None, overrides=None, skip_layers=()):
+    """Per-layer attention-processor selection — the reference's second
+    integration style (`example/modify_model/modify_mochi.py:112-119` swaps
+    processors per block and SKIPS fragile layers, e.g. Mochi's last).
+
+    Returns a selector to pass as ``make_dit(attn_fn=...)``: layer ``i``
+    runs ``overrides[i]`` if present, the exact jax.nn attention if ``i`` is
+    in ``skip_layers``, else ``default_fn`` (sage by default)."""
+    default_fn = default_fn or sage_dot_product_attention
+    overrides = dict(overrides or {})
+    skip = frozenset(skip_layers)
+
+    def select(i: int):
+        if i in skip:
+            return _ORIG_DOT_PRODUCT_ATTENTION
+        return overrides.get(i, default_fn)
+
+    select._per_layer = True
+    return select
+
+
 @contextlib.contextmanager
 def patch_jax_nn_attention(**sage_kwargs):
     """Globally replace ``jax.nn.dot_product_attention`` with SageAttention

@@ -239,9 +239,12 @@ def _attn_kernel(
         q = qbf_scr[...] if dq_compute else q_ref[0, 0]
         D = q.shape[-1]
 
-        def sub_tile(t):
+        def sub_tile(t, causal_mask=True):
             """One BKI-wide KV sub-tile; unrolled so consecutive sub-tiles'
-            independent MXU/VPU work interleaves in Mosaic's schedule."""
+            independent MXU/VPU work interleaves in Mosaic's schedule.
+            ``causal_mask=False`` skips the causal iota/compare/select for
+            tiles known to sit entirely below the diagonal (the reference's
+            3-phase loop, `qk_int_sv_f16_cuda_sm80.cu:218-222`)."""
             sl = slice(t * BKI, (t + 1) * BKI)
             k = k_ref[0, 0, sl, :]
             v = v_ref[0, 0, sl, :]
@@ -272,7 +275,7 @@ def _attn_kernel(
             if (cfg.kv_len % BK) != 0:
                 cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1) + col0
                 s = jnp.where(cols < cfg.kv_len, s, MASK_NEG)
-            if cfg.causal:
+            if cfg.causal and causal_mask:
                 rows = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 0)
                         + i * BQ + q_start)
                 cols = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1)
@@ -345,9 +348,21 @@ def _attn_kernel(
             acc_scr[...] = acc_scr[...] * _bcast_cols(alpha, D) + pv
 
         for t in range(n_inner):
-            if cfg.causal and n_inner > 1:
-                sub_run = (j * BK + t * BKI + kv_start) <= (i * BQ + q_start + BQ - 1)
-                pl.when(sub_run)(lambda t=t: sub_tile(t))
+            if cfg.causal:
+                # 3-phase structure: skip above-diagonal sub-tiles entirely,
+                # run strictly-below-diagonal ones WITHOUT the causal mask
+                # (its iota/compare/select costs ~4 VPU ops/elem — most of
+                # the static softmax's total), mask only boundary tiles.
+                first_kv = j * BK + t * BKI + kv_start
+                last_kv = first_kv + BKI - 1
+                first_q = i * BQ + q_start
+                last_q = first_q + BQ - 1
+                sub_run = first_kv <= last_q
+                full = last_kv <= first_q
+                pl.when(jnp.logical_and(sub_run, full))(
+                    lambda t=t: sub_tile(t, causal_mask=False))
+                pl.when(jnp.logical_and(sub_run, jnp.logical_not(full)))(
+                    lambda t=t: sub_tile(t, causal_mask=True))
             else:
                 sub_tile(t)
 

@@ -92,3 +92,47 @@ class TestViT:
         sage = ViT(cfg, attn_fn=sage_dot_product_attention).apply(params, imgs)
         assert sage.shape == (2, 10)
         assert calc_diff(sage, ref) < 5e-3
+
+
+class TestLayeredAttention:
+    def test_per_layer_selection_and_skip(self):
+        from sageattention_tpu.models import (DiTConfig, make_dit,
+                                              example_inputs)
+        from sageattention_tpu.models.integration import (
+            layered_attention, sage_dot_product_attention)
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        calls = []
+
+        def probe_fn(layer):
+            def fn(q, k, v, *a, **kw):
+                calls.append(layer)
+                return jax.nn.dot_product_attention(q, k, v)
+            return fn
+
+        sel = layered_attention(
+            default_fn=probe_fn("default"),
+            overrides={1: probe_fn("override")},
+            skip_layers=(2,))
+        cfg = DiTConfig(hidden=64, heads=2, depth=3, frames=1, height=8,
+                        width=8, text_len=16, text_dim=64,
+                        zero_init_gates=False)
+        model = make_dit(cfg, attn_fn=sel)
+        latents, text, t = example_inputs(cfg)
+        params = model.init(jax.random.PRNGKey(0), latents, text, t)
+        out = model.apply(params, latents, text, t)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        # layer 0 default, layer 1 override, layer 2 skipped (exact jax.nn);
+        # traced once for init and once for apply
+        assert calls[:2] == ["default", "override"]
+        assert set(calls) == {"default", "override"}
+
+        # numerics: all-sage vs layered(all default) identical structure
+        m2 = make_dit(cfg, attn_fn=layered_attention(
+            default_fn=sage_dot_product_attention))
+        out2 = m2.apply(params, latents, text, t)
+        m3 = make_dit(cfg, attn_fn=sage_dot_product_attention)
+        out3 = m3.apply(params, latents, text, t)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out3))

@@ -46,7 +46,8 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
     if interpret is None:
         interpret = default_interpret()
     if blocks is None:
-        bq, bk, bki = _choose_blocks(S, S, quantized, compute_dtype)
+        bq, bk, bki = _choose_blocks(S, S, quantized, compute_dtype,
+                                     causal=causal)
     else:
         bq, bk = (min(b, S) for b in blocks[:2])
         bki = blocks[2] if len(blocks) > 2 else bk

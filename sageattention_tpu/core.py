@@ -36,8 +36,8 @@ LOG2E = quant_ops.LOG2E
 # (docs/PERF_NOTES.md tile sweeps: 128-wide tiles are grid-overhead-bound at
 # ~12% of peak; 2048 is the sweet spot).  Used to trade tile quality against
 # the masked-compute cost of padding ugly sequence lengths up to the tile.
-_BLOCK_EFF = {4096: 1.02, 2048: 1.0, 1024: 0.96, 512: 0.82, 256: 0.6,
-              128: 0.15}
+_BLOCK_EFF = {8192: 1.03, 4096: 1.02, 2048: 1.0, 1024: 0.96, 512: 0.82,
+              256: 0.6, 128: 0.15}
 
 
 def _pick_block(cap: int, seq: int) -> int:
@@ -57,17 +57,27 @@ def _pick_block(cap: int, seq: int) -> int:
 
 
 def _choose_blocks(sq: int, sk: int, quantized: bool,
-                   compute_dtype: str = "native"):
+                   compute_dtype: str = "native", causal: bool = False):
     """Tile-size heuristic measured on v5e (docs/PERF_NOTES.md): grid-step
     overhead dominates below ~512-wide tiles; bf16-compute paths gain most
-    from a small inner sub-tile (MXU/VPU interleave) while native-int8 dots
-    need wide flat tiles (the static softmax removes the cross-sub-tile
-    dependency, so flat 2048x2048 wins — r2 sweep).  Callers pad the seq
-    dims UP to the returned blocks.  Returns (block_q, block_k, bk_inner)."""
+    from a small inner sub-tile (MXU/VPU interleave).  Native-int8 static
+    kernels want a NARROW q tile with a WIDE kv tile sub-tiled at 1024
+    (r2 follow-up sweep): causal executed-flop waste scales with BQ/S (top
+    rows of a q block execute kv columns only its bottom rows need), and
+    the 3-phase loop skips above-diagonal KV *sub*-tiles, so (1024, 8192,
+    1024) beats flat 2048x2048 by 18% causal / 3% non-causal at S=8192.
+    Exception: causal at S>=32K, where flat 2048 tiles measure ~3% faster
+    (diagonal waste is already small and the wide-tile rate wins).
+    Callers pad the seq dims UP to the returned blocks.
+    Returns (block_q, block_k, bk_inner)."""
     if quantized and compute_dtype == "native":
-        bq = _pick_block(2048, sq)
-        bk = _pick_block(2048, sk)
-        bki = bk
+        if causal and sk >= 32768:
+            bq = _pick_block(2048, sq)
+            bk = _pick_block(2048, sk)
+            return bq, bk, bk
+        bq = _pick_block(1024, sq)
+        bk = _pick_block(8192, sk)
+        bki = min(1024, bk)
     elif quantized:  # int8 storage, bf16 compute
         bq = _pick_block(4096, sq)
         bk = _pick_block(2048, sk)
@@ -177,19 +187,28 @@ def _sage_attention(
         bq, bk, bki = block_q, block_k, block_k
     else:
         bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
-                                     compute_dtype=compute_dtype)
-        if compute_dtype == "native" and min(bq, bk) < 512:
-            # int8 MXU dots have no rate advantage below ~512-wide tiles
-            # (docs/PERF_NOTES.md): small shapes run the int8-storage /
-            # bf16-compute kernel, whose sub-tile interleave wins there.
-            # fp8 PV needs the native path (fp8 P) — pad its tiles to 512.
+                                     compute_dtype=compute_dtype,
+                                     causal=is_causal)
+        if compute_dtype == "native" and (Sk < 4096 or min(bq, bk) < 512):
+            # int8 MXU dots have no rate advantage at short sequences /
+            # small tiles (docs/PERF_NOTES.md r2 A/B: bf16-compute wins at
+            # S<=2048, native from S=4096 up): small shapes run the
+            # int8-storage / bf16-compute kernel, whose sub-tile interleave
+            # wins there.  fp8 PV needs the native path (fp8 P) — pad its
+            # tiles to 512.
             if pv_dtype == "fp8":
                 bq, bk = max(bq, 512), max(bk, 512)
                 bki = bk
             else:
                 compute_dtype = "bf16"
                 bq, bk, bki = _choose_blocks(Sq, Sk, quantized=True,
-                                             compute_dtype="bf16")
+                                             compute_dtype="bf16",
+                                             causal=is_causal)
+        if masked != "none" and bk > 2048:
+            # a user mask streams (BQ, BK) tiles through VMEM — cap the kv
+            # tile so the f32-bias case stays within the scoped-vmem budget
+            bk = 2048
+            bki = min(bki, bk)
     Sq_pad = round_up(Sq, bq)
     Sk_pad = round_up(Sk, bk)
     if compute_dtype == "bf16":

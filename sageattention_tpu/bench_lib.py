@@ -60,18 +60,20 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
         q, k, v, qs, ks, vs = _prep(B, H, S, D, pv_dtype)
         cap = None
         if softmax_mode == "static":
-            qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(jnp.float32)),
-                                  axis=3, keepdims=True))
+            # per-(b,h) K-side cap factor; the kernel builds the per-row
+            # cap qs*||q8||*kn_max itself (ops/attention.py)
             kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=3))
-            cap = qs * qn * jnp.max(kn, axis=2)[:, :, None, None]
+            if not fold_k:
+                kn = kn * ks[:, :, 0, :]
+            cap = jnp.max(kn, axis=2)[:, :, None, None]
         fn = jax.jit(functools.partial(attention_call, cfg=cfg, interpret=interpret))
         args = (q, k, v, qs, None if fold_k else ks) \
             + ((vs,) if pv_dtype != "bf16" else ())
         if softmax_mode == "static":
             fn_inner = fn
 
-            def fn(*a):  # logit_cap is keyword-only downstream
-                return fn_inner(*a, logit_cap=cap)
+            def fn(*a):  # kn_max is keyword-only downstream
+                return fn_inner(*a, kn_max=cap)
     else:
         ks_ = jax.random.split(jax.random.PRNGKey(0), 3)
         q = jax.random.normal(ks_[0], (B, H, S, D), jnp.bfloat16)

@@ -255,26 +255,26 @@ def _sage_attention(
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
 
-    want_norm = use_fused and softmax_mode == "static"
-    qn2 = kn2 = None
+    want_cap = use_fused and softmax_mode == "static"
+    q_capmax = k_capmax = None  # [B,H,1,1]: max over rows of scale*||x8||
     fold = sm_scale * LOG2E
     if use_fused:
         if k_scale_mode == "head":
-            if want_norm:
-                k_i8, kn2 = qp.quant_int8_fixed_pallas(
-                    k, ks_sc, sub=km, with_norm=True)
+            if want_cap:
+                k_i8, k_capmax = qp.quant_int8_fixed_pallas(
+                    k, ks_sc, sub=km, with_capmax=True, s_true=Sk)
             else:
                 k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
             k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
-        elif want_norm:
-            k_i8, k_s, kn2 = qp.quant_int8_groupwise_pallas(
-                k, k_group, sub=km, with_norm=True)
+        elif want_cap:
+            k_i8, k_s, k_capmax = qp.quant_int8_groupwise_pallas(
+                k, k_group, sub=km, with_capmax=True, s_true=Sk)
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
-        # single-pass Q quant + row norms (static-cap inputs)
-        if want_norm:
-            q_i8, q_s, qn2 = qp.quant_int8_groupwise_pallas(
-                q, q_group, fold=fold, with_norm=True)
+        # single-pass Q quant + cap reduction (static-softmax input)
+        if want_cap:
+            q_i8, q_s, q_capmax = qp.quant_int8_groupwise_pallas(
+                q, q_group, fold=fold, with_capmax=True)
         else:
             q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
     elif k_scale_mode == "head":
@@ -287,6 +287,7 @@ def _sage_attention(
         q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
             q, k, km, sm_scale, q_group, k_group, "HND")
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
+    q_scale_prefold = q_scale
     if k_scale_mode == "head":
         ks_head = k_s[:, :, 0]  # [B, Hk]
         if Hq != Hk:
@@ -335,25 +336,35 @@ def _sage_attention(
 
     # Static-softmax logit cap: C_i >= max_j s_ij in base-2 units, by
     # Cauchy–Schwarz on the int8 payloads: |q8_i . k8_j| <= ||q8_i|| ||k8_j||,
-    # times the (folded) scales.  Norms come from the fused quant pass when
-    # available; the jnp fallback serves interpret mode.
-    logit_cap = None
+    # times the (folded) scales.  The kernel computes the per-row
+    # qs_i*||q8_i|| part itself (the int8 q tile is resident there; a
+    # per-row norm store in the quant pass costs a slow lane relayout —
+    # probe_prep.py); the host supplies only max_j(ks_j*||k8_j||) as a
+    # per-(b,h) scalar, reduced inside the fused quant pass (jnp fallback
+    # for interpret mode).
+    kn_max_in = None
     static_safe = None
     if softmax_mode == "static":
-        qn = (jnp.sqrt(qn2) if qn2 is not None else
-              jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
-                               axis=3, keepdims=True)))        # [B,Hq,Sq,1]
-        kn = (jnp.sqrt(kn2[..., 0]) if kn2 is not None else
-              jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3)))
-        kn = jnp.where(jnp.arange(Sk_pad) < Sk, kn, 0.0)       # [B,Hk,Sk_pad]
-        if k_scale_mode == "head":  # ks already folded into q_scale
-            kn_max = jnp.max(kn, axis=2)[:, :, None, None]     # [B,Hk,1,1]
-        else:
-            kn_max = jnp.max(kn * k_scale[:, :, 0, :], axis=2)[:, :, None, None]
-        if Hq != Hk:
-            kn_max = jnp.repeat(kn_max, Hq // Hk, axis=1)
-        # 1+1e-5 absorbs f32 rounding of the norms so C is a true bound
-        logit_cap = q_scale * qn * kn_max * (1.0 + 1e-5)
+        if q_capmax is None:  # jnp fallback (interpret / non-fused path)
+            qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                                  axis=3, keepdims=True))      # [B,Hq,Sq,1]
+            q_capmax = jnp.max(q_scale_prefold * qn, axis=2, keepdims=True)
+        if k_capmax is None:
+            kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)),
+                                  axis=3))                     # [B,Hk,Sk_pad]
+            kn = jnp.where(jnp.arange(Sk_pad) < Sk, kn, 0.0)
+            if k_scale_mode == "head":  # ks folded into q_scale downstream
+                k_capmax = jnp.max(kn, axis=2)[:, :, None, None]
+            else:
+                k_capmax = jnp.max(kn * k_scale[:, :, 0, :],
+                                   axis=2)[:, :, None, None]
+        kn_max_in = (jnp.repeat(k_capmax, Hq // Hk, axis=1)
+                     if Hq != Hk else k_capmax)                # [B,Hq,1,1]
+        # per-(b,h) worst-row cap (the per-row caps' max): in head mode the
+        # q-side capmax lacks the folded ks — multiply it back in.
+        cap_bh = q_capmax * kn_max_in * (1.0 + 1e-5)
+        if k_scale_mode == "head":
+            cap_bh = cap_bh * ks_head[:, :, None, None]
         # Safety: exp2(s - C) underflows when C - row_max > ~bf16 exponent
         # range.  Cheap LOWER bounds on the row max cap the slack:
         #   - smooth_k: the smoothed logits have row mean exactly 0, so
@@ -364,23 +375,31 @@ def _sage_attention(
         #     large-but-correlated logits stay on the static path.
         # The call is static-safe iff slack <= 80 log2 units for every row;
         # unsafe calls run the online kernel via lax.cond (same bf16-P
-        # numerics, just the running-max bookkeeping back).
+        # numerics, just the running-max bookkeeping back).  With only the
+        # per-(b,h) cap reduction on host, the base predicate pairs the
+        # worst cap row with the worst row_lo row — conservative, never
+        # unsafe; the lazy refinement below is exact per row.
         if smooth_k:
-            row_lo = jnp.zeros_like(logit_cap)
+            row_lo_min = 0.0
         else:
             km_all = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
             if Hq != Hk:
                 km_all = jnp.repeat(km_all, Hq // Hk, axis=1)
             row_lo = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
                                 km_all)[..., None] * (sm_scale * LOG2E)
-        safe_base = jnp.all(logit_cap - row_lo <= 80.0)
-        # Tighter (but costlier — a full q8/k8 read) bound: the diagonal
-        # logit q_i.k_i is always a visible logit for equal-length
+            row_lo_min = jnp.min(row_lo, axis=2, keepdims=True)
+        safe_base = jnp.all(cap_bh - row_lo_min <= 80.0)
+        # Tighter (but costlier — a full q8/k8 read) per-row bound: the
+        # diagonal logit q_i.k_i is always a visible logit for equal-length
         # attention and is nearly tight for peaked real data.  Computed
         # LAZILY via lax.cond: normal data (cap <= 80) never pays for it.
         # (bool masks could hide the diagonal, so they keep the base bound)
         if Sq == Sk and Sq_pad == Sk_pad and masked == "none":
             def _diag_safe():
+                qn_l = jnp.sqrt(jnp.sum(
+                    jnp.square(q_i8.astype(jnp.float32)),
+                    axis=3, keepdims=True))
+                logit_cap = q_scale * qn_l * kn_max_in * (1.0 + 1e-5)
                 k8_rep = (jnp.repeat(k_i8, Hq // Hk, axis=1)
                           if Hq != Hk else k_i8)
                 diag = jnp.sum(q_i8.astype(jnp.float32)
@@ -392,7 +411,10 @@ def _sage_attention(
                     if Hq != Hk:
                         ks_row = jnp.repeat(ks_row, Hq // Hk, axis=1)
                     diag = diag * ks_row
-                lo = jnp.maximum(row_lo, diag)
+                if smooth_k:
+                    lo = jnp.maximum(diag, 0.0)
+                else:
+                    lo = jnp.maximum(row_lo, diag)
                 return jnp.all(logit_cap - lo <= 80.0)
 
             static_safe = jax.lax.cond(
@@ -407,26 +429,23 @@ def _sage_attention(
             out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
             masked=masked, fold_k_scale=(k_scale_mode == "head"),
             compute_dtype=compute_dtype, softmax_mode=mode,
+            # smooth_v repair (o += vm) fused into the kernel epilogue —
+            # the reference's fuse_v_mean kernels; saves an output-sized
+            # read+write on the host
+            fuse_v_mean=(vm is not None),
             # keep P bf16 in the fallback so both cond branches share numerics
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
         )
         return attention_call(
             q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
-            logit_cap=logit_cap if mode == "static" else None,
-            cfg=cfg, interpret=interpret)
+            kn_max=kn_max_in if mode == "static" else None,
+            v_mean=vm, cfg=cfg, interpret=interpret)
 
     if softmax_mode == "static":
         out, lse_b2 = jax.lax.cond(
             static_safe, lambda: _call("static"), lambda: _call("online"))
     else:
         out, lse_b2 = _call(softmax_mode)
-
-    # smooth_v repair: o += vm (valid because sum(p)/l == 1 per row).
-    if vm is not None:
-        vm_l = vm
-        if Hq != Hk:
-            vm_l = jnp.repeat(vm_l, Hq // Hk, axis=1)
-        out = (out.astype(jnp.float32) + vm_l).astype(out.dtype)
 
     # Slice padding.
     out = out[:, :, :Sq, :D_og]

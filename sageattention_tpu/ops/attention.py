@@ -102,6 +102,11 @@ class AttnConfig:
     masked: str = "none"     # "none" | "bool" | "float" — user attn_mask
     # (bool: keep where true; float: additive bias in natural-log units,
     # like the reference triton path `attn_qk_int8_per_block.py:33-39`)
+    fuse_v_mean: bool = False  # smooth_v repair fused into the epilogue:
+    # o += vm after normalization (valid because sum(p)/l == 1 per row) —
+    # the reference's fuse_v_mean kernels (`qk_int_sv_f16_cuda_sm80.cu:
+    # 563-582`, `sm89 ..._fuse_v_mean`).  Saves a full read+write of the
+    # output on the host (~0.8 ms at S=8192 B4 H32).
     pv_via_bf16: bool = False  # force the bf16-P path (V converted in-kernel
     # when stored int8) even under the online softmax — used by the static
     # path's unsafe-input fallback so both lax.cond branches share the same
@@ -178,12 +183,14 @@ def _attn_kernel(
     k_ref = next(it)
     v_ref = next(it)
     static_mode = cfg.softmax_mode == "static"
-    cap_ref = None
+    knmax_ref = None
+    vm_ref = None
     if cfg.quantized:
         qs_ref = next(it)
         ks_ref = None if cfg.fold_k_scale else next(it)
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
-        cap_ref = next(it) if static_mode else None
+        vm_ref = next(it) if cfg.fuse_v_mean else None
+        knmax_ref = next(it) if static_mode else None
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
     mask_ref = next(it) if cfg.masked != "none" else None
@@ -207,9 +214,18 @@ def _attn_kernel(
     @pl.when(j == 0)
     def _init():
         if static_mode:
-            # the per-row logit bound C plays the role of the final running
-            # max; the epilogue's lse formula is then already correct.
-            m_scr[...] = jnp.broadcast_to(cap_ref[0, 0], m_scr.shape)
+            # The per-row logit bound C = qs_i * ||q8_i|| * max_j(ks_j *
+            # ||k8_j||) plays the role of the final running max (the
+            # epilogue's lse formula is then already correct).  ||q8_i|| is
+            # computed HERE — the int8 q tile is resident anyway, and a
+            # per-row (S, 1) norm store in the quant pass costs a slow lane
+            # relayout (probe_prep.py); only the scalar max||k8|| arrives
+            # as an input.  1+1e-5 absorbs f32 rounding so C stays a true
+            # upper bound.
+            q8 = q_ref[0, 0].astype(jnp.float32)
+            qn = jnp.sqrt(jnp.sum(q8 * q8, axis=1, keepdims=True))
+            cap = qs_ref[0, 0] * qn * (knmax_ref[0, 0] * (1.0 + 1e-5))
+            m_scr[...] = jnp.broadcast_to(cap, m_scr.shape)
         else:
             m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
         l_scr[...] = jnp.zeros_like(l_scr)
@@ -380,6 +396,8 @@ def _attn_kernel(
         elif cfg.quantized and cfg.pv_dtype == "fp8":
             # fp8 exp-offset cancels in o (both acc and l carry 2^off)
             o = o * vs_ref[0, 0]
+        if cfg.fuse_v_mean:
+            o = o + vm_ref[0, 0]                  # (1, D) broadcast
         o_ref[0, 0] = o.astype(o_ref.dtype)
         # lse in base 2 (converted to natural log by the host wrapper,
         # matching `core.py:328-331`); subtract the fp8 offset carried by l.
@@ -430,8 +448,12 @@ def attention_call(
     q_segments=None,   # [B, Sq, 1] int32 (varlen only)
     kv_segments=None,  # [B, 1, Sk] int32 (varlen only)
     attn_mask=None,    # [B, Hm, Sq, Sk] int8 (bool) or f32 (additive bias)
-    logit_cap=None,    # [B, Hq, Sq, 1] f32 per-row base-2 logit upper bound
+    kn_max=None,       # [B, Hq, 1, 1] f32: max_j of the K-side cap factor
+    #                    (||k8_j|| with per-head scales folded into q_scale,
+    #                    or ks_j*||k8_j|| in fine mode); the kernel builds
+    #                    the per-row cap qs_i*||q8_i||*kn_max itself
     #                    (softmax_mode="static" only)
+    v_mean=None,       # [B, Hk, 1, D] f32 (fuse_v_mean only)
     *,
     cfg: AttnConfig,
     interpret: bool = False,
@@ -454,7 +476,7 @@ def attention_call(
         assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"
-        assert logit_cap is not None, "softmax_mode='static' needs logit_cap"
+        assert kn_max is not None, "softmax_mode='static' needs kn_max"
         assert cfg.pv_dtype != "fp8", \
             "static softmax is bf16-P (fp8 P needs the online exp-offset)"
         assert cfg.masked != "float", \
@@ -483,9 +505,14 @@ def attention_call(
         if with_vscale:
             in_specs.append(vs_spec)
             inputs.append(v_scale.astype(jnp.float32))
+        if cfg.fuse_v_mean:
+            assert v_mean is not None, "fuse_v_mean needs v_mean"
+            in_specs.append(vs_spec)  # same (1,1,1,D) per-channel geometry
+            inputs.append(v_mean.astype(jnp.float32))
         if cfg.softmax_mode == "static":
-            in_specs.append(qs_spec)  # same (1,1,BQ,1) per-row geometry
-            inputs.append(logit_cap.astype(jnp.float32))
+            in_specs.append(pl.BlockSpec((1, 1, 1, 1),
+                                         lambda b, h, i, j: (b, h, 0, 0)))
+            inputs.append(kn_max.astype(jnp.float32))
     if cfg.segmented:
         in_specs += [qseg_spec, kseg_spec]
         inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]

@@ -12,9 +12,14 @@ Three scale modes cover the pipeline:
   - "channel": precomputed per-head-dim scales (per-channel V)
 
 ``with_norm`` additionally emits the squared L2 norm of each quantized row
-(fp32, [B,H,S,1]) in the same pass — the static-softmax logit cap
-(ops/attention.py) needs ||q8|| and max||k8||, and computing them here
-avoids a second full read of the int8 tensors.
+(fp32, [B,H,S,1]) in the same pass.  ``with_capmax`` instead reduces the
+row norms to ONE scalar per (batch, head): max over rows of
+``scale_row * ||x8_row||_2`` — everything the static-softmax logit cap
+(ops/attention.py) needs from this tensor.  Measured (probe_prep.py): a
+per-row (S, 1) output forces a slow lane-relayout store (+1.5 ms per
+tensor at S=8192 B4 H32) while the scalar reduction is free; the per-row
+Q norms are recomputed inside the attention kernel where the int8 tile is
+already resident.
 """
 
 from __future__ import annotations
@@ -35,7 +40,8 @@ BLOCK_S = 4096  # rows per grid step (multiple of every supported group
 
 
 def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
-                  block_s: int, with_norm: bool, with_dot: bool = False):
+                  block_s: int, with_norm: bool, with_dot: bool = False,
+                  capmax: bool = False, n_blocks: int = 1, s_true: int = 0):
     it = iter(refs)
     x_ref = next(it)
     sub_ref = next(it) if has_sub else None
@@ -45,12 +51,35 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
     sout_ref = next(it) if mode == "group" else None
     norm_ref = next(it) if with_norm else None
     dot_ref = next(it) if with_dot else None
+    cap_ref = next(it) if capmax else None
+    cap_scr = next(it) if capmax else None
+
+    i = pl.program_id(2)
+    if capmax:
+        @pl.when(i == 0)
+        def _():
+            cap_scr[...] = jnp.zeros_like(cap_scr)
 
     x = x_ref[0, 0].astype(jnp.float32)            # (BLK, D)
     if has_sub:
         x = x - sub_ref[0, 0].astype(jnp.float32)  # (1, D) broadcast
     if fold != 1.0:
         x = x * fold
+
+    def _update_capmax(q2d, scale_row):
+        """max over this block's TRUE rows of scale_row * ||q2d_row||_2;
+        accumulated into cap_scr across grid steps."""
+        n2 = jnp.sum(q2d * q2d, axis=1, keepdims=True)      # (BLK, 1)
+        capv = jnp.sqrt(n2) * scale_row
+        if s_true and s_true < n_blocks * block_s:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, capv.shape, 0)
+                    + i * block_s)
+            capv = jnp.where(rows < s_true, capv, 0.0)
+        cap_scr[...] = jnp.maximum(cap_scr[...], jnp.max(capv))
+
+        @pl.when(i == n_blocks - 1)
+        def _():
+            cap_ref[0, 0] = cap_scr[...]
 
     if mode == "group":
         n_g = block_s // group
@@ -77,6 +106,10 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
             # static-softmax lower bound), fused into this read pass
             w = dotw_ref[0, 0].astype(jnp.float32)
             dot_ref[0, 0] = jnp.sum(q2d * w, axis=1, keepdims=True)
+        if capmax:
+            scale_row = jnp.broadcast_to(scale3, (n_g, group, 1)
+                                         ).reshape(block_s, 1)
+            _update_capmax(q2d, scale_row)
         return
     elif mode == "scalar":
         q = jnp.clip(jnp.rint(x * (1.0 / sin_ref[0, 0])), -127, 127)
@@ -85,10 +118,14 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
     out_ref[0, 0] = q.astype(jnp.int8)
     if with_norm:
         norm_ref[0, 0] = jnp.sum(q * q, axis=1, keepdims=True)
+    if capmax:
+        # scalar mode: the per-head scale is folded downstream (into
+        # q_scale), so the capmax is over plain ||x8_row||.
+        _update_capmax(q, jnp.float32(1.0))
 
 
 def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
-          dot_with=None):
+          dot_with=None, with_capmax=False, s_true=0):
     B, H, S, D = x.shape
     assert S % block_s == 0 and (mode != "group" or block_s % group == 0)
     n_blocks = S // block_s
@@ -124,17 +161,28 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
         out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
                                       lambda b, h, i: (b, h, i, 0)))
         out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+    if with_capmax:
+        out_specs.append(pl.BlockSpec((1, 1, 1, 1),
+                                      lambda b, h, i: (b, h, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, 1, 1), jnp.float32))
 
     res = pl.pallas_call(
         functools.partial(_quant_kernel, mode=mode, group=group, fold=fold,
                           has_sub=sub is not None, block_s=block_s,
-                          with_norm=with_norm, with_dot=dot_with is not None),
+                          with_norm=with_norm, with_dot=dot_with is not None,
+                          capmax=with_capmax, n_blocks=n_blocks,
+                          s_true=s_true),
         grid=(B, H, n_blocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
         out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        scratch_shapes=([pltpu.VMEM((1, 1), jnp.float32)]
+                        if with_capmax else []),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            # the capmax scratch accumulates across seq blocks -> the seq
+            # grid dim must execute in order on one core
+            dimension_semantics=("parallel", "parallel",
+                                 "arbitrary" if with_capmax else "parallel"),
             # large row blocks + f32 intermediates overflow the 16 MB
             # default scoped-vmem allowance (v5e has 128 MB physical)
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -222,17 +270,22 @@ def _block_s_for(S: int, group: int) -> int:
 
 def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
                                 with_norm: bool = False, dot_with=None,
+                                with_capmax: bool = False, s_true: int = 0,
                                 interpret: bool = False):
     """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group]
-    [, row sq-norms [B,H,S,1]] [, row dots vs ``dot_with`` [B,H,S,1]]).
+    [, row sq-norms [B,H,S,1]] [, row dots vs ``dot_with`` [B,H,S,1]]
+    [, capmax [B,H,1,1]]).
 
     ``dot_with``: optional int8 [B,Hk,S,D] (Hk divides H) — emits the
     per-row dot sum(x_int8 * dot_with) in the same pass (the diagonal-logit
-    lower bound for the static softmax)."""
+    lower bound for the static softmax).
+
+    ``with_capmax``: emits max over rows (< ``s_true`` if given) of
+    ``scale_row * ||x8_row||_2`` — the static-softmax cap reduction."""
     bs = _block_s_for(x.shape[2], group)
     assert bs, (x.shape, group)
     res = _call(x, sub, None, "group", group, fold, bs, with_norm, interpret,
-                dot_with=dot_with)
+                dot_with=dot_with, with_capmax=with_capmax, s_true=s_true)
     res = list(res) if isinstance(res, tuple) else [res]
     res[1] = res[1][..., 0]
     return tuple(res)
@@ -240,12 +293,15 @@ def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
 
 def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,
                             with_norm: bool = False,
+                            with_capmax: bool = False, s_true: int = 0,
                             interpret: bool = False):
     """Fused quant with a precomputed scale: ``scale`` is [B,H,1,1]
-    (per-head) or [B,H,1,D] (per-channel).  Returns int8 (+ row sq-norms
-    when asked)."""
+    (per-head) or [B,H,1,D] (per-channel).  Returns int8 (+ row sq-norms /
+    per-(b,h) norm capmax when asked; the scalar-mode capmax is over plain
+    ``||x8_row||`` — its per-head scale is folded into q_scale downstream)."""
     mode = "scalar" if scale.shape[-1] == 1 else "channel"
     bs = _block_s_for(x.shape[2], 1)
     assert bs, x.shape
     return _call(x, sub, scale.astype(jnp.float32), mode, bs, fold, bs,
-                 with_norm, interpret)
+                 with_norm, interpret, with_capmax=with_capmax,
+                 s_true=s_true)

@@ -216,20 +216,15 @@ def sageattn_varlen(
         pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
         out_dtype=q.dtype, segmented=True, masked=masked,
         compute_dtype=compute_dtype, fold_k_scale=fold_k,
+        fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
     )
     out, lse_b2 = attention_call(
         q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
         q_segments=q_seg[None, :, None],
         kv_segments=kv_seg[None, None, :],
-        attn_mask=mask_in,
+        attn_mask=mask_in, v_mean=vm,
         cfg=cfg, interpret=interpret,
     )
-
-    if vm is not None:
-        vm_l = vm  # [1, Hk, 1, D]
-        if Hq != Hk:
-            vm_l = jnp.repeat(vm_l, Hq // Hk, axis=1)
-        out = (out.astype(jnp.float32) + vm_l).astype(out.dtype)
 
     out = jnp.swapaxes(out[0], 0, 1)[:Tq, :, :D_og]  # [Tq, Hq, D]
     if not return_lse:

@@ -74,6 +74,33 @@ def test_fixed_with_norm():
     np.testing.assert_allclose(np.asarray(n2), np.asarray(ref), rtol=1e-6)
 
 
+def test_groupwise_with_capmax():
+    x = rand((1, 2, 512, 64), key=5)
+    out, s, cap = qp.quant_int8_groupwise_pallas(x, 32, fold=0.5,
+                                                 with_capmax=True,
+                                                 interpret=True)
+    norms = jnp.sqrt(jnp.sum(jnp.square(out.astype(jnp.float32)), axis=3,
+                             keepdims=True))
+    scale_rows = jnp.repeat(s[..., None], 32, axis=2).reshape(1, 2, 512, 1)
+    ref = jnp.max(scale_rows * norms, axis=2, keepdims=True)
+    assert cap.shape == (1, 2, 1, 1)
+    np.testing.assert_allclose(np.asarray(cap), np.asarray(ref), rtol=1e-6)
+
+
+def test_fixed_with_capmax_masks_pad_rows():
+    x = rand((1, 1, 512, 64), key=6)
+    x = x.at[:, :, 400:].set(99.0)  # pad rows must not inflate the capmax
+    scale = jnp.full((1, 1, 1, 1), 0.02, jnp.float32)
+    km = jnp.mean(x[:, :, :400].astype(jnp.float32), axis=2, keepdims=True)
+    out, cap = qp.quant_int8_fixed_pallas(x, scale, sub=km, with_capmax=True,
+                                          s_true=400, interpret=True)
+    norms = jnp.sqrt(jnp.sum(jnp.square(out[:, :, :400].astype(jnp.float32)),
+                             axis=3))
+    ref = jnp.max(norms, axis=2)[:, :, None, None]  # scalar-mode: no scale
+    assert cap.shape == (1, 1, 1, 1)
+    np.testing.assert_allclose(np.asarray(cap), np.asarray(ref), rtol=1e-6)
+
+
 def test_channel_stats():
     x = rand((1, 2, 512, 64), key=7, scale=3.0)
     s_true = 400  # pad rows (>= 400) must not contaminate the stats

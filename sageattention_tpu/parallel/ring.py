@@ -62,27 +62,41 @@ def _repeat_heads(x, G):
 def _ring_body(
     q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran, pv_dtype,
     compute_dtype, interpret, block_q, block_k, block_k_inner, return_lse,
+    softmax_mode,
 ):
     """Runs on each device inside shard_map.  q: [B, Hq, S_local, D],
     k/v: [B, Hk, S_local, D]; head_dim and seq already padded/aligned by
     the caller.
 
-    With compute_dtype="bf16" (the v5e flagship) K is quantized per head per
-    shard; the rotating chunk carries its scalar scale, which is folded into
-    the per-row Q scales each step before the kernel call."""
+    With fold_k (head K scales — the bf16-compute and static-softmax modes)
+    K is quantized per head per shard; the rotating chunk carries its scalar
+    scale, which is folded into the per-row Q scales each step before the
+    kernel call.
+
+    softmax_mode="static" runs each per-chunk kernel with the static
+    Cauchy–Schwarz cap (the v5e flagship softmax): the chunk's max||k8||
+    rotates with its payload, and safety is decided ONCE globally (pmax of
+    the per-chunk cap factors before the loop) so every step's lax.cond
+    takes the same branch on a device and no collective sits inside a
+    divergent branch.  Per-chunk underflow is harmless here: a chunk whose
+    rows all underflow contributes o=0 with an lse ~cap-123 that the
+    lse-weighted merge reduces to ~0 weight (the diagonal chunk, which
+    always sees the self logits, anchors every row — same argument as the
+    single-chip diagonal bound)."""
     B, Hq, S, D = q.shape
     Hk = k.shape[1]
     G = Hq // Hk
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    static_mode = softmax_mode == "static"
 
     # Global K mean over the ring (smooth_k with exact global mean).
     km_local = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
     km = jax.lax.pmean(km_local, axis_name)
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
-    fold_k = compute_dtype == "bf16"
+    fold_k = compute_dtype == "bf16" or static_mode
     if fold_k:
         kf = k.astype(jnp.float32) - km
         amax = jnp.max(jnp.abs(kf), axis=(2, 3), keepdims=True)
@@ -98,6 +112,21 @@ def _ring_body(
         k_head_scale = None
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, S)
 
+    kn_local = None
+    static_safe = None
+    if static_mode:
+        # chunk cap factor: max over the shard's rows of ||k8|| [B,Hk,1,1]
+        kn_local = jnp.max(jnp.sqrt(jnp.sum(
+            jnp.square(k_i8.astype(jnp.float32)), axis=3)),
+            axis=2)[:, :, None, None]
+        # global safety, decided once: worst q row x worst chunk factor
+        q_capmax = jnp.max(q_scale * jnp.sqrt(jnp.sum(
+            jnp.square(q_i8.astype(jnp.float32)), axis=3, keepdims=True)),
+            axis=2, keepdims=True)                       # [B,Hq,1,1]
+        g_kfac = jax.lax.pmax(kn_local * k_head_scale, axis_name)
+        static_safe = jnp.all(
+            q_capmax * _repeat_heads(g_kfac, G) * (1.0 + 1e-5) <= 80.0)
+
     vm = None
     v_scale = None
     if pv_dtype == "bf16":
@@ -109,16 +138,19 @@ def _ring_body(
         v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=True)
         v_scale = vs[:, :, None, :]
 
-    cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
-        causal=is_causal,
-        causal_dynamic=is_causal,  # offsets vary with the rotating source
-        quantized=True, fold_k_scale=fold_k, compute_dtype=compute_dtype,
-        pv_dtype=pv_dtype, layout="HND", kv_len=S,
-        # bf16 partials: merged in fp32 below; halves per-step HBM writes.
-        out_dtype=jnp.bfloat16,
-    )
-    call = functools.partial(attention_call, cfg=cfg, interpret=interpret)
+    def _cfg(mode):
+        return AttnConfig(
+            block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
+            causal=is_causal,
+            causal_dynamic=is_causal,  # offsets vary with the rotating source
+            quantized=True, fold_k_scale=fold_k, compute_dtype=compute_dtype,
+            pv_dtype=pv_dtype, layout="HND", kv_len=S, softmax_mode=mode,
+            # keep P bf16 in the online fallback so both branches of the
+            # safety cond share numerics (as core._sage_attention does)
+            pv_via_bf16=(mode == "online" and static_mode),
+            # bf16 partials: merged in fp32 below; halves per-step HBM writes.
+            out_dtype=jnp.bfloat16,
+        )
 
     def step_attend(state, kv_chunk, step):
         o_acc, lse_acc = state
@@ -134,8 +166,23 @@ def _ring_body(
             qs_step = q_scale
             ks_c = kv_chunk["ks"]
         vs_c = kv_chunk.get("vs")
-        o_p, lse_b2 = call(q_i8, k_i8_c, v_c, qs_step, ks_c, vs_c,
-                           offsets=offsets if is_causal else None)
+
+        def _call(mode):
+            return attention_call(
+                q_i8, k_i8_c, v_c, qs_step, ks_c, vs_c,
+                offsets=offsets if is_causal else None,
+                kn_max=(_repeat_heads(kv_chunk["knmax"], G)
+                        if mode == "static" else None),
+                cfg=_cfg(mode), interpret=interpret)
+
+        if static_mode:
+            # the predicate is global (pmax'd) so both kernels are pure —
+            # no collective inside a potentially divergent branch
+            o_p, lse_b2 = jax.lax.cond(
+                static_safe, lambda: _call("static"),
+                lambda: _call("online"))
+        else:
+            o_p, lse_b2 = _call(softmax_mode)
         lse_p = lse_b2 / LOG2E
         # smooth_v repair must happen pre-merge (each chunk has its own vm):
         # o_true_chunk = o_p + vm_chunk (rows with l==0 produce o_p=0 and
@@ -154,6 +201,8 @@ def _ring_body(
         chunk["ks_head"] = k_head_scale
     else:
         chunk["ks"] = k_scale
+    if static_mode:
+        chunk["knmax"] = kn_local  # cap factor travels with its payload
     if v_scale is not None:
         chunk["vs"] = v_scale
     if vm is not None:
@@ -196,6 +245,8 @@ def ring_sageattn(
     qk_quant_gran: str = "per_thread",
     pv_dtype: Optional[str] = None,
     compute_dtype: Optional[str] = None,
+    softmax_mode: str = "auto",  # "auto" -> static unless pv fp8 (the
+    # same rule as core._sage_attention; static is the v5e flagship)
     return_lse: bool = False,
     block_q: int = 0,
     block_k: int = 0,
@@ -223,6 +274,8 @@ def ring_sageattn(
         compute_dtype = detect().default_compute_dtype
     if compute_dtype == "bf16" and pv_dtype == "fp8":
         pv_dtype = "int8"
+    if softmax_mode == "auto":
+        softmax_mode = "static" if pv_dtype != "fp8" else "online"
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
@@ -235,7 +288,12 @@ def ring_sageattn(
         block_q = _ring_block(2048, S_local)
     if not block_k:
         block_k = _ring_block(2048, S_local)
-    block_k_inner = min(256, block_k) if compute_dtype == "bf16" else block_k
+    if compute_dtype == "bf16":
+        block_k_inner = min(256, block_k)
+    elif softmax_mode == "static":
+        block_k_inner = min(1024, block_k)  # r2 sweep: sub-tiled wide kv
+    else:
+        block_k_inner = block_k
     assert S_local % block_q == 0 and S_local % block_k == 0
     D_og = D
     if D not in (64, 128, 256):
@@ -249,7 +307,7 @@ def ring_sageattn(
         qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
         block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
-        return_lse=return_lse)
+        return_lse=return_lse, softmax_mode=softmax_mode)
 
     in_spec = P(None, None, axis_name, None)
     out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \

@@ -89,6 +89,40 @@ class TestRingFlagship:
         assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
 
 
+class TestRingStaticSoftmax:
+    """The v5e flagship softmax (static Cauchy–Schwarz cap) inside the ring:
+    per-chunk cap factors rotate with their payload; safety is a single
+    global pmax decision before the loop."""
+
+    def test_static_matches_online(self, mesh4):
+        q, k, v = qkv()
+        st = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
+                           softmax_mode="static")
+        on = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
+                           softmax_mode="online")
+        assert calc_diff(st, sdpa(q, k, v)) < 1e-3
+        # static folds K scales per head; online keeps per-group scales, so
+        # the two pipelines quantize differently — close, not bitwise.
+        assert calc_diff(st, on) < 1e-3
+
+    def test_static_causal(self, mesh4):
+        q, k, v = qkv()
+        out = ring_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="int8",
+                            softmax_mode="static")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+    def test_unsafe_cap_falls_back(self, mesh4):
+        # logits far beyond the exp2 cap budget: the global safety predicate
+        # must flip and route every step through the online kernel, exactly.
+        q, k, v = qkv(scale=8.0)
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="int8",
+                            softmax_mode="static")
+        # int8 quant error is genuinely larger at this magnitude (near-one-hot
+        # softmax); the point is a sane online result — a static kernel run
+        # without the fallback would exp2-overflow to nan and fail this.
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-2
+
+
 def qkv_gqa(B=1, Hq=8, Hk=2, S=1024, D=64):
     ks = jax.random.split(jax.random.PRNGKey(12), 3)
     q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)

@@ -73,6 +73,12 @@ def main():
     row("fixed quant scalar + sub + norms (K pass)",
         lambda x: qp.quant_int8_fixed_pallas(x, scale, sub=km,
                                              with_norm=True))
+    row("groupwise quant g=32 + capmax (static Q)",
+        lambda x: qp.quant_int8_groupwise_pallas(x, 32, fold=0.1,
+                                                 with_capmax=True, s_true=S))
+    row("fixed quant scalar + sub + capmax (static K)",
+        lambda x: qp.quant_int8_fixed_pallas(x, scale, sub=km,
+                                             with_capmax=True, s_true=S))
     row("fixed-scale quant channel + sub (V pass)",
         lambda x: qp.quant_int8_fixed_pallas(x, vscale, sub=km))
     row("smooth_v repair (out.f32 + vm -> bf16)",

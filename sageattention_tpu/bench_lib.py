@@ -142,6 +142,14 @@ def run_headline(S=8192, D=128, B=4, H=32):
     t_ours, tf_ours = bench_kernel(B, H, S, D, pv_dtype="bf16", quantized=False)
     t_q, tf_q = bench_kernel(B, H, S, D, pv_dtype=pv, quantized=True,
                              compute_dtype=compute, softmax_mode=softmax)
+    # causal (the reference benches ±causal; our largest relative win) and
+    # e2e scope (quant preamble INCLUDED — the reference excludes it)
+    t_oc, tf_oc = bench_kernel(B, H, S, D, causal=True, pv_dtype="bf16",
+                               quantized=False)
+    t_qc, tf_qc = bench_kernel(B, H, S, D, causal=True, pv_dtype=pv,
+                               quantized=True, compute_dtype=compute,
+                               softmax_mode=softmax)
+    _, tf_e2e = bench_e2e(B, H, S, D)
     return {
         "metric": (f"sageattn qk-int8 pv-{pv} compute-{compute} "
                    f"softmax-{softmax} TFLOPS "
@@ -153,6 +161,10 @@ def run_headline(S=8192, D=128, B=4, H=32):
         "baseline_tflops": round(tf_stock, 1),
         "our_flash_tflops": round(tf_ours, 1),
         "vs_our_flash": round(t_ours / t_q, 3),
+        "causal_tflops": round(tf_qc, 1),
+        "causal_vs_our_flash": round(t_oc / t_qc, 3),
+        "causal_our_flash_tflops": round(tf_oc, 1),
+        "e2e_tflops_quant_included": round(tf_e2e, 1),
         "device": caps.generation,
     }
 

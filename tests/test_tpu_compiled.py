@@ -81,6 +81,14 @@ class TestCompiledForward:
         assert bool(jnp.all(jnp.isfinite(out)))
         assert calc_diff(out, sdpa(q, k, v)) < 3e-2
 
+    def test_static_unaligned_gqa(self):
+        # pad rows must stay out of the capmax reduction (s_true masking in
+        # quant_pallas) — an inflated cap here would silently waste exp2
+        # range; GQA exercises the Hk<Hq kn_max broadcast
+        q, k, v = mk(Hq=4, Hk=2, Sq=1000, Sk=1000, key=11)
+        out = sa.sageattn(q, k, v, softmax_mode="static")
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
     def test_bool_mask(self):
         q, k, v = mk(key=6)
         keep = jax.random.bernoulli(jax.random.PRNGKey(9), 0.85,

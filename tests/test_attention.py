@@ -168,6 +168,13 @@ class TestApiSurface:
         q, k, v = qkv(dtype=jnp.bfloat16)
         assert sa.sageattn_qk_int8_pv_bf16(q, k, v).dtype == jnp.bfloat16
 
+    def test_fp16_inputs(self):
+        # the reference's default torch dtype; quant stats run f32 either way
+        q, k, v = qkv(dtype=jnp.float16)
+        out = sa.sageattn(q, k, v)
+        assert out.dtype == jnp.float16
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
     def test_jit_compatible(self):
         q, k, v = qkv()
         f = jax.jit(lambda q, k, v: sa.sageattn_qk_int8_pv_bf16(q, k, v))

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Compiled (Mosaic) accuracy matrix on the real TPU.
+
+Sweeps the §4 config matrix — head dims, sequence lengths, causal, GQA,
+quant/PV modes, varlen, masks — through the COMPILED kernels and reports
+1 − cosine-sim against the fp32 jnp oracle, with the same bars the test
+suite uses (int8 modes < 1e-3, fp8 PV < 5e-3: e4m3 P has 3 mantissa bits,
+~2.5e-3 is inherent).  This is the breadth evidence that the interpret-mode
+CPU suite and the small `-m tpu` lane compile-check: run it after kernel
+changes and paste the table into docs/PERF_NOTES.md.
+
+Usage (TPU, ~25 distinct compiles ≈ 25 min through the tunnel):
+  PYTHONPATH=/root/.axon_site:. python benchsuite/accuracy_matrix.py
+"""
+
+import functools
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops.reference import sdpa
+from sageattention_tpu.utils.testing import calc_diff
+
+FAILS = []
+
+
+def mk(B=1, Hq=4, Hk=None, S=4096, Sk=None, D=128, key=0, scale=1.0):
+    Hk = Hk or Hq
+    Sk = Sk or S
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.bfloat16) * scale
+    k = jax.random.normal(ks[1], (B, Hk, Sk, D), jnp.bfloat16) * scale
+    v = jax.random.normal(ks[2], (B, Hk, Sk, D), jnp.bfloat16)
+    return q, k, v
+
+
+def row(name, q, k, v, bar=1e-3, fn=None, **kw):
+    fn = fn or sa.sageattn
+    fn_kw = {k_: v_ for k_, v_ in kw.items() if k_ != "mask"}
+    out = jax.jit(functools.partial(fn, **fn_kw))(q, k, v)
+    ref = sdpa(q, k, v, **{k_: v_ for k_, v_ in kw.items()
+                           if k_ in ("is_causal", "mask")})
+    d = float(calc_diff(out, ref))
+    ok = d < bar
+    if not ok:
+        FAILS.append(name)
+    print(f"{name:<52} diff={d:.2e}  bar={bar:.0e}  "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+
+
+def main():
+    print(f"device: {jax.devices()[0].device_kind}", flush=True)
+
+    # 1. flagship auto across head dims / lengths / causal
+    for D in (64, 128):
+        for S in (1024, 4096, 16384):
+            q, k, v = mk(S=S, D=D, key=S + D)
+            row(f"auto hd{D} S{S} dense", q, k, v)
+            row(f"auto hd{D} S{S} causal", q, k, v, is_causal=True)
+
+    # 2. explicit PV modes at hd128 S4096
+    q, k, v = mk(key=1)
+    row("pv bf16 dense", q, k, v, fn=sa.sageattn_qk_int8_pv_bf16)
+    row("pv bf16 causal", q, k, v, fn=sa.sageattn_qk_int8_pv_bf16,
+        is_causal=True)
+    row("pv fp8 (exp-offset) dense", q, k, v, bar=5e-3,
+        fn=sa.sageattn_qk_int8_pv_fp8)
+    row("pv int8 online fine-gran", q, k, v,
+        fn=sa.sageattn_qk_int8_pv_int8, k_scale_mode="fine",
+        softmax_mode="online")
+    row("int8-storage bf16-compute", q, k, v,
+        fn=sa.sageattn_qk_int8_pv_int8, compute_dtype="bf16")
+
+    # 3. GQA / unaligned
+    q, k, v = mk(Hq=8, Hk=2, key=2)
+    row("GQA 8q/2kv dense", q, k, v)
+    row("GQA 8q/2kv causal", q, k, v, is_causal=True)
+    q, k, v = mk(Hq=8, Hk=2, S=5000, key=3)
+    row("GQA unaligned S5000", q, k, v)
+
+    # 4. bool mask (block-skip path)
+    q, k, v = mk(key=4)
+    keep = jax.random.bernoulli(jax.random.PRNGKey(9), 0.9,
+                                (1, 1, 4096, 4096))
+    row("bool attn_mask 90% keep", q, k, v, mask=keep, attn_mask=keep)
+
+    # 5. varlen (ragged causal, 3 sequences)
+    T = 4096
+    cu = jnp.array([0, 1500, 2600, T], jnp.int32)
+    ks_ = jax.random.split(jax.random.PRNGKey(5), 3)
+    qp, kp, vp = (jax.random.normal(kk, (T, 4, 128), jnp.bfloat16)
+                  for kk in ks_)
+    ov = sa.sageattn_varlen(qp, kp, vp, cu, cu, 1600, 1600, is_causal=True)
+    refs = []
+    for i in range(3):
+        a, b = int(cu[i]), int(cu[i + 1])
+        refs.append(sdpa(qp[None, a:b].swapaxes(1, 2),
+                         kp[None, a:b].swapaxes(1, 2),
+                         vp[None, a:b].swapaxes(1, 2),
+                         is_causal=True)[0].swapaxes(0, 1))
+    d = float(calc_diff(ov, jnp.concatenate(refs, 0)))
+    ok = d < 1e-3
+    if not ok:
+        FAILS.append("varlen")
+    print(f"{'varlen causal 3-seq':<52} diff={d:.2e}  bar=1e-03  "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+
+    print(f"MATRIX {'PASS' if not FAILS else 'FAIL: ' + ', '.join(FAILS)}",
+          flush=True)
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,7 @@ def sageattn_varlen(
     smooth_k: bool = True,
     qk_quant_gran: str = "per_block",
     pv_dtype: Optional[str] = None,
+    softmax_mode: str = "auto",
     return_lse: bool = False,
     attn_mask=None,
     **kwargs: Any,
@@ -210,21 +211,79 @@ def sageattn_varlen(
             attn_mask.astype(jnp.int8 if is_bool else jnp.float32)[None],
             2, Tq_pad), 3, Tk_pad)                    # [1, Hm, Tq_pad, Tk_pad]
 
-    cfg = AttnConfig(
-        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
-        causal=is_causal, quantized=True,
-        pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
-        out_dtype=q.dtype, segmented=True, masked=masked,
-        compute_dtype=compute_dtype, fold_k_scale=fold_k,
-        fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
-    )
-    out, lse_b2 = attention_call(
-        q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
-        q_segments=q_seg[None, :, None],
-        kv_segments=kv_seg[None, None, :],
-        attn_mask=mask_in, v_mean=vm,
-        cfg=cfg, interpret=interpret,
-    )
+    # Static softmax (the flagship mode) for the packed path.  The
+    # Cauchy–Schwarz cap is an upper bound over ALL columns, so it covers
+    # the segment-masked rows a fortiori; the safety lower bound on each
+    # row's max VISIBLE logit is the diagonal logit q_i.k_i, which sits in
+    # row i's own segment whenever the q and k packings are identical
+    # (guaranteed for causal; checked for dense).  Other configurations
+    # keep the online softmax — correct, just without the static win.
+    if softmax_mode == "auto":
+        same_pack = Tq == Tk and cu_seqlens_q is cu_seqlens_k
+        if not same_pack and Tq == Tk and not (
+                isinstance(cu_seqlens_q, jax.core.Tracer)
+                or isinstance(cu_seqlens_k, jax.core.Tracer)):
+            import numpy as _np
+            same_pack = _np.array_equal(_np.asarray(cu_seqlens_q),
+                                        _np.asarray(cu_seqlens_k))
+        softmax_mode = ("static" if (pv_dtype != "fp8"
+                                     and attn_mask is None and same_pack)
+                        else "online")
+
+    def _cfg(mode):
+        return AttnConfig(
+            block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
+            causal=is_causal, quantized=True,
+            pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
+            out_dtype=q.dtype, segmented=True, masked=masked,
+            compute_dtype=compute_dtype, fold_k_scale=fold_k,
+            fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
+            softmax_mode=mode,
+            pv_via_bf16=(mode == "online" and softmax_mode == "static"),
+        )
+
+    kn_max_in = None
+    static_safe = None
+    if softmax_mode == "static":
+        kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3))
+        kn = jnp.where((jnp.arange(Tk_pad) < Tk)[None, None, :], kn, 0.0)
+        if fold_k:  # per-segment K scale folded into q_scale
+            kfac = kn
+        else:
+            kfac = kn * k_scale[:, :, 0, :]
+        kn_max_in = jnp.max(kfac, axis=2)[:, :, None, None]   # [1,Hk,1,1]
+        if Hq != Hk:
+            kn_max_in = jnp.repeat(kn_max_in, Hq // Hk, axis=1)
+        qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                              axis=3, keepdims=True))         # [1,Hq,Tq_pad,1]
+        cap_row = q_scale * qn * kn_max_in * (1.0 + 1e-5)
+        # diagonal logit (same position, same segment => always visible)
+        k8_rep = jnp.repeat(k_i8, Hq // Hk, axis=1) if Hq != Hk else k_i8
+        diag = jnp.sum(q_i8.astype(jnp.float32) * k8_rep.astype(jnp.float32),
+                       axis=3, keepdims=True) * q_scale
+        if not fold_k:
+            ks_rep = (jnp.repeat(k_scale, Hq // Hk, axis=1)
+                      if Hq != Hk else k_scale)
+            diag = diag * jnp.swapaxes(ks_rep, 2, 3)          # per-row ks
+        slack = cap_row - diag
+        real_q = (jnp.arange(Tq_pad) < Tq)[None, None, :, None]
+        static_safe = jnp.all(jnp.where(real_q, slack, 0.0) <= 80.0)
+
+    def _call(mode):
+        return attention_call(
+            q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
+            q_segments=q_seg[None, :, None],
+            kv_segments=kv_seg[None, None, :],
+            attn_mask=mask_in, v_mean=vm,
+            kn_max=kn_max_in if mode == "static" else None,
+            cfg=_cfg(mode), interpret=interpret,
+        )
+
+    if softmax_mode == "static":
+        out, lse_b2 = jax.lax.cond(
+            static_safe, lambda: _call("static"), lambda: _call("online"))
+    else:
+        out, lse_b2 = _call(softmax_mode)
 
     out = jnp.swapaxes(out[0], 0, 1)[:Tq, :, :D_og]  # [Tq, Hq, D]
     if not return_lse:

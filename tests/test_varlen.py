@@ -128,3 +128,49 @@ class TestVarlenModes:
                                       pv_dtype="bf16", return_lse=True)
         assert lse.shape == (q.shape[1], q.shape[0])
         assert bool(jnp.all(jnp.isfinite(lse)))
+
+
+class TestVarlenStaticSoftmax:
+    """auto resolves to the static (flagship) softmax when the q/k packings
+    match; safety falls back to the online kernel via lax.cond."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_static_matches_online(self, causal):
+        q, k, v, cu = packed([100, 156], key=3)
+        st = sa.sageattn_varlen(q, k, v, cu, cu, 156, 156, is_causal=causal,
+                                pv_dtype="bf16", softmax_mode="static")
+        on = sa.sageattn_varlen(q, k, v, cu, cu, 156, 156, is_causal=causal,
+                                pv_dtype="bf16", softmax_mode="online")
+        oracle = dense_loop_oracle(q, k, v, cu, causal)
+        assert calc_diff(st, oracle) < 1e-3
+        # same quantization pipeline, only softmax bookkeeping differs
+        assert calc_diff(st, on) < 2e-5
+
+    def test_unsafe_falls_back_online(self):
+        # x50 magnitudes: the cap exceeds the exp2 budget, the global
+        # predicate flips, and every row runs the online kernel (a static
+        # run without the fallback would overflow to nan)
+        q, k, v, cu = packed([100, 156], key=4)
+        q, k = q * 50.0, k * 50.0
+        out = sa.sageattn_varlen(q, k, v, cu, cu, 156, 156,
+                                 softmax_mode="static")
+        assert bool(jnp.all(jnp.isfinite(out)))
+        # quant error at x50 magnitudes is inherently ~2e-2 (int8 logits on
+        # near-one-hot softmax); the same bar the x100 single-chip tests use
+        assert calc_diff(out, dense_loop_oracle(q, k, v, cu, False)) < 3e-2
+
+    def test_auto_requires_matching_pack(self):
+        # different k packing (same totals): auto must stay online — and
+        # still be correct
+        q, k, v, cu = packed([100, 156], key=5)
+        cu_k = jnp.array([0, 128, 256], jnp.int32)
+        out = sa.sageattn_varlen(q, k, v, cu, cu_k, 156, 156)
+        bounds_q, bounds_k = np.asarray(cu), np.asarray(cu_k)
+        outs = []
+        for (a, b), (c, d) in zip(zip(bounds_q[:-1], bounds_q[1:]),
+                                  zip(bounds_k[:-1], bounds_k[1:])):
+            o = sdpa(jnp.swapaxes(q[a:b][None], 1, 2),
+                     jnp.swapaxes(k[c:d][None], 1, 2),
+                     jnp.swapaxes(v[c:d][None], 1, 2))
+            outs.append(jnp.swapaxes(o[0], 0, 1))
+        assert calc_diff(out, jnp.concatenate(outs, 0)) < 1e-3

@@ -104,6 +104,18 @@ class TestCompiledForward:
         assert float(jnp.max(jnp.abs(lse - lse_ref))) < 2e-2
 
 
+class TestCompiledLowbit:
+    def test_sageattn3_tiled_compiles(self):
+        # the p_sim_fp4 kernel path (in-kernel e2m1 P requant) — interpret
+        # mode measured 3.29e-2 at this shape; compiled must match, and the
+        # ~3e-2 scale is inherent to 4-bit microscaling on N(0,1) data
+        from sageattention_tpu.ops.lowbit import sageattn3_tiled
+        q, k, v = mk(Hq=2, Sq=512, Sk=512, key=12)
+        out = jax.jit(sageattn3_tiled)(q, k, v)
+        d = calc_diff(out, sdpa(q, k, v))
+        assert float(d) < 6e-2
+
+
 class TestCompiledVarlen:
     def test_varlen_static_matches_online(self):
         T = 512

@@ -96,6 +96,15 @@ class TestCompiledForward:
         out = sa.sageattn_qk_int8_pv_bf16(q, k, v, attn_mask=keep)
         assert calc_diff(out, sdpa(q, k, v, mask=keep)) < 1e-3
 
+    def test_float_bias_mask(self):
+        # additive bias in natural-log units (forces the online softmax —
+        # the static cap does not cover an arbitrary bias)
+        q, k, v = mk(key=13)
+        bias = jax.random.normal(jax.random.PRNGKey(8), (1, 1, 256, 256),
+                                 jnp.float32) * 2.0
+        out = sa.sageattn_qk_int8_pv_bf16(q, k, v, attn_mask=bias)
+        assert calc_diff(out, sdpa(q, k, v, mask=bias)) < 1e-3
+
     def test_lse(self):
         q, k, v = mk(key=7)
         out, lse = sa.sageattn(q, k, v, return_lse=True)

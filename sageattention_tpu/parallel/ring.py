@@ -97,32 +97,59 @@ def _ring_body(
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
     fold_k = compute_dtype == "bf16" or static_mode
+    fold = sm_scale * LOG2E
+    # Fused Pallas quant on the compiled path (same read-once/write-once
+    # kernels the single-chip pipeline uses — ops/quant_pallas.py); the jnp
+    # path serves interpret/CPU-mesh runs.  The scalar-mode capmax output IS
+    # the chunk's max||k8|| cap factor, so static mode gets kn_local for
+    # free in the K quant pass.
+    use_fused = not interpret
+    if use_fused:
+        from ..ops import quant_pallas as qp
+    kn_local = None
+    q_capmax = None
     if fold_k:
-        kf = k.astype(jnp.float32) - km
-        amax = jnp.max(jnp.abs(kf), axis=(2, 3), keepdims=True)
+        kf32 = k.astype(jnp.float32) - km
+        amax = jnp.max(jnp.abs(kf32), axis=(2, 3), keepdims=True)
         k_head_scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
-        k_i8 = jnp.clip(jnp.rint(kf / k_head_scale), -127, 127).astype(jnp.int8)
-        q_i8, q_s = quant_ops.quant_int8_groupwise(
-            q, q_group, fold=sm_scale * LOG2E)
+        if use_fused:
+            if static_mode:
+                k_i8, kn_local = qp.quant_int8_fixed_pallas(
+                    k, k_head_scale, sub=km, with_capmax=True)
+                q_i8, q_s, q_capmax = qp.quant_int8_groupwise_pallas(
+                    q, q_group, fold=fold, with_capmax=True)
+            else:
+                k_i8 = qp.quant_int8_fixed_pallas(k, k_head_scale, sub=km)
+                q_i8, q_s = qp.quant_int8_groupwise_pallas(
+                    q, q_group, fold=fold)
+        else:
+            k_i8 = jnp.clip(jnp.rint(kf32 / k_head_scale),
+                            -127, 127).astype(jnp.int8)
+            q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=fold)
         k_scale = None
     else:
-        q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=sm_scale * LOG2E)
-        k_i8, k_s = quant_ops.quant_int8_groupwise(k, k_group, sub=km)
+        if use_fused:
+            q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
+            k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
+        else:
+            q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=fold)
+            k_i8, k_s = quant_ops.quant_int8_groupwise(k, k_group, sub=km)
         k_scale = quant_ops.expand_scales_cols(k_s, k_group, S)
         k_head_scale = None
     q_scale = quant_ops.expand_scales_rows(q_s, q_group, S)
 
-    kn_local = None
     static_safe = None
     if static_mode:
-        # chunk cap factor: max over the shard's rows of ||k8|| [B,Hk,1,1]
-        kn_local = jnp.max(jnp.sqrt(jnp.sum(
-            jnp.square(k_i8.astype(jnp.float32)), axis=3)),
-            axis=2)[:, :, None, None]
+        if kn_local is None:
+            # jnp fallback: max over the shard's rows of ||k8|| [B,Hk,1,1]
+            kn_local = jnp.max(jnp.sqrt(jnp.sum(
+                jnp.square(k_i8.astype(jnp.float32)), axis=3)),
+                axis=2)[:, :, None, None]
+        if q_capmax is None:
+            q_capmax = jnp.max(q_scale * jnp.sqrt(jnp.sum(
+                jnp.square(q_i8.astype(jnp.float32)), axis=3, keepdims=True)),
+                axis=2, keepdims=True)                   # [B,Hq,1,1]
         # global safety, decided once: worst q row x worst chunk factor
-        q_capmax = jnp.max(q_scale * jnp.sqrt(jnp.sum(
-            jnp.square(q_i8.astype(jnp.float32)), axis=3, keepdims=True)),
-            axis=2, keepdims=True)                       # [B,Hq,1,1]
         g_kfac = jax.lax.pmax(kn_local * k_head_scale, axis_name)
         static_safe = jnp.all(
             q_capmax * _repeat_heads(g_kfac, G) * (1.0 + 1e-5) <= 80.0)
@@ -132,8 +159,13 @@ def _ring_body(
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
     elif pv_dtype == "int8":
-        v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=True)
-        v_scale = vs[:, :, None, :]
+        if use_fused:
+            vm, v_amax = qp.channel_stats_pallas(v, S)
+            v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
+            v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
+        else:
+            v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=True)
+            v_scale = vs[:, :, None, :]
     else:
         v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=True)
         v_scale = vs[:, :, None, :]

@@ -156,6 +156,19 @@ class TestCompiledVarlen:
         assert calc_diff(out[:100], jnp.swapaxes(refA[0], 0, 1)) < 1e-3
 
 
+class TestCompiledRing:
+    def test_ring_fused_quant_one_device(self):
+        # shard_map over a 1-device mesh compiles the ring body — including
+        # the fused Pallas quant path (use_fused=True) — on the real chip;
+        # multi-device logic is covered by the CPU-mesh suite.
+        from sageattention_tpu.parallel import make_mesh, ring_sageattn
+        mesh = make_mesh(dp=1, sp=1, tp=1, devices=jax.devices()[:1])
+        q, k, v = mk(Hq=4, Sq=4096, Sk=4096, key=14)
+        out = ring_sageattn(q, k, v, mesh, pv_dtype="int8",
+                            softmax_mode="static")
+        assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3
+
+
 class TestCompiledBackward:
     def test_grads_match_exact(self):
         q, k, v = mk(D=64, key=8)

@@ -55,7 +55,10 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
                      quantized=quantized, pv_dtype=pv_dtype, layout="HND",
                      kv_len=S, out_dtype=jnp.bfloat16,
                      fold_k_scale=quantized and fold_k,
-                     compute_dtype=compute_dtype, softmax_mode=softmax_mode)
+                     compute_dtype=compute_dtype, softmax_mode=softmax_mode,
+                     # inference scope: sageattn(return_lse=False) skips the
+                     # lse store (r3), so the kernel bench does too
+                     emit_lse=False)
     if quantized:
         q, k, v, qs, ks, vs = _prep(B, H, S, D, pv_dtype)
         cap = None

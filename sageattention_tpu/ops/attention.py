@@ -116,6 +116,14 @@ class AttnConfig:
     # — the tiled, O(S)-memory analogue of the reference's fused P
     # re-quantization (`softmax_fused.h:28`, `mainloop_tma_ws.h:799-899`).
     # Simulation only (v5e has no 4-bit MXU; see benchsuite/probe_lowbit.py).
+    kv_len_dynamic: bool = False  # the true kv length arrives as an SMEM
+    # scalar at call time (ring-attention chunks whose real-row count
+    # differs per source shard after padding, r3); cfg.kv_len is then the
+    # padded extent and the boundary masks use the dynamic value
+    emit_lse: bool = True  # write the lse output (r3: callers that don't
+    # need it — the common inference path — skip the epilogue log2 and the
+    # (B,H,S,1) store; the reference's RETURN_LSE dispatch macro,
+    # `dispatch_utils.h:23-112`)
     softmax_mode: str = "online"  # "online": classic flash running-max.
     # "static": the max is replaced by a precomputed per-row upper bound C_i
     # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
@@ -145,6 +153,22 @@ class AttnConfig:
                 or self.pv_via_bf16)
 
 
+def _bcast(x128, n):
+    """Broadcast a (rows, 128) lane-replicated stat across n columns by
+    concatenating full 128-lane registers.  Measured (r3 A/B, all three
+    strategies on the five headline configs): the (rows, 1) implicit
+    lane-broadcast and explicit broadcast_to both collapse pl.when-wrapped
+    and online-softmax kernels to ~half speed (static-causal 66 vs 127
+    TFLOPS, flash 76 vs 146) — Mosaic lowers the single-lane splat as a
+    per-op cross-lane shuffle — while full-register concatenation costs
+    nothing even in the plain static body (182.2 vs 183.6, noise)."""
+    if n == 128:
+        return x128
+    if n < 128:
+        return x128[:, :n]
+    return jnp.concatenate([x128] * (n // 128), axis=1)
+
+
 def _round_e2m1_tile(p, pmax):
     """Quantize a probability tile onto the e2m1 grid with per-row scale
     ``pmax/6`` (SageAttention3 P re-quantization semantics).  Pure
@@ -161,15 +185,6 @@ def _round_e2m1_tile(p, pmax):
     return q * scale  # p >= 0, sign dropped
 
 
-def _bcast_cols(x128, n):
-    """Broadcast a (rows, 128) lane-replicated stat to (rows, n) columns."""
-    if n == 128:
-        return x128
-    if n < 128:
-        return x128[:, :n]
-    return jnp.concatenate([x128] * (n // 128), axis=1)
-
-
 def _attn_kernel(
     # refs (built dynamically; see _make_inputs): [offsets?] q k v [qs ks] [vs]
     # [q_seg kv_seg] out lse m_scr l_scr acc_scr
@@ -179,6 +194,7 @@ def _attn_kernel(
 ):
     it = iter(refs)
     offs_ref = next(it) if (cfg.causal and cfg.causal_dynamic) else None
+    kvt_ref = next(it) if cfg.kv_len_dynamic else None
     q_ref = next(it)
     k_ref = next(it)
     v_ref = next(it)
@@ -199,7 +215,7 @@ def _attn_kernel(
     # (`attn_qk_int8_per_block.py:33-39`); nonzero = live
     minfo_ref = next(it) if cfg.masked == "bool" else None
     o_ref = next(it)
-    lse_ref = next(it)
+    lse_ref = next(it) if cfg.emit_lse else None
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
@@ -246,7 +262,16 @@ def _attn_kernel(
         run = (j * BK) <= (i * BQ + BQ - 1)
     else:
         q_start = kv_start = None
-        run = True
+        # skip kv blocks entirely past the true length (their DMA is also
+        # clamped away in _specs on the static path).  Padding exists
+        # whenever kv_len < the gridded extent — NOT merely when kv_len is
+        # block-unaligned (pre-padded kv_true inputs can be aligned).
+        if cfg.kv_len_dynamic:
+            run = j * BK < kvt_ref[0]
+        elif cfg.kv_len < n_kv * BK:
+            run = j * BK < cfg.kv_len
+        else:
+            run = True
     if minfo_ref is not None:
         run = jnp.logical_and(run, minfo_ref[0, 0, i, j] != 0)
 
@@ -255,12 +280,16 @@ def _attn_kernel(
         q = qbf_scr[...] if dq_compute else q_ref[0, 0]
         D = q.shape[-1]
 
-        def sub_tile(t, causal_mask=True):
+        def sub_tile(t, causal_mask=True, tail_mask=True):
             """One BKI-wide KV sub-tile; unrolled so consecutive sub-tiles'
             independent MXU/VPU work interleaves in Mosaic's schedule.
             ``causal_mask=False`` skips the causal iota/compare/select for
             tiles known to sit entirely below the diagonal (the reference's
-            3-phase loop, `qk_int_sv_f16_cuda_sm80.cu:218-222`)."""
+            3-phase loop, `qk_int_sv_f16_cuda_sm80.cu:218-222`);
+            ``tail_mask=False`` likewise skips the kv-length boundary mask
+            for tiles known to sit entirely inside the true sequence (r3:
+            the mask cost ~3 VPU ops/elem on EVERY tile for any unaligned
+            kv_len — now only the boundary tiles pay)."""
             sl = slice(t * BKI, (t + 1) * BKI)
             k = k_ref[0, 0, sl, :]
             v = v_ref[0, 0, sl, :]
@@ -288,9 +317,10 @@ def _attn_kernel(
                     preferred_element_type=jnp.float32)
                 s = s * (cfg.sm_scale * LOG2E)
 
-            if (cfg.kv_len % BK) != 0:
+            if tail_mask:
+                kvl = kvt_ref[0] if cfg.kv_len_dynamic else cfg.kv_len
                 cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1) + col0
-                s = jnp.where(cols < cfg.kv_len, s, MASK_NEG)
+                s = jnp.where(cols < kvl, s, MASK_NEG)
             if cfg.causal and causal_mask:
                 rows = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 0)
                         + i * BQ + q_start)
@@ -310,7 +340,9 @@ def _attn_kernel(
             if static_mode:
                 # no running stats: C (in m_scr since init) is the exponent
                 # shift; sub-tiles become independent accumulate-only work.
-                p = jnp.exp2(s - _bcast_cols(m_scr[...], BKI))
+                # (r3: (BQ,1) implicit lane-broadcast — the old 128-lane
+                # concat materialized a second (BQ,BKI) f32 tile per sub-tile)
+                p = jnp.exp2(s - _bcast(m_scr[...], BKI))
                 l_cur = jnp.sum(p, axis=1, keepdims=True)
                 if cfg.quantized and cfg.pv_dtype == "int8":
                     v = v.astype(jnp.bfloat16)  # per-channel scale in epilogue
@@ -328,7 +360,7 @@ def _attn_kernel(
             alpha = jnp.exp2(m_prev - m_next)           # (BQ, 128)
 
             if cfg.p_bf16:
-                p = jnp.exp2(s - _bcast_cols(m_next, BKI))
+                p = jnp.exp2(s - _bcast(m_next, BKI))
                 if cfg.p_sim_fp4:
                     # row absmax of this tile's p is exp2(m_cur - m_next);
                     # m_next is lane-replicated — take one lane for (BQ, 1)
@@ -344,7 +376,7 @@ def _attn_kernel(
                 # *quantized* P so normalization cancels rounding exactly, as
                 # the reference's fp8 rowsum does (`mma.cuh:685-721`); 1/127
                 # and per-channel v_scale fold into the epilogue.
-                p_q = jnp.rint(jnp.exp2(s - _bcast_cols(m_next, BKI)
+                p_q = jnp.rint(jnp.exp2(s - _bcast(m_next, BKI)
                                         + INT8_P_OFFSET_LOG2))
                 l_cur = jnp.sum(p_q, axis=1, keepdims=True) * (1.0 / 127.0)
                 pv = jax.lax.dot_general(
@@ -352,7 +384,7 @@ def _attn_kernel(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32).astype(jnp.float32)
             else:  # fp8 with exp-offset filling the e4m3 range
-                p_q = jnp.exp2(s - _bcast_cols(m_next, BKI) + FP8_OFFSET_LOG2
+                p_q = jnp.exp2(s - _bcast(m_next, BKI) + FP8_OFFSET_LOG2
                                ).astype(jnp.float8_e4m3fn)
                 l_cur = jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
                 pv = jax.lax.dot_general(
@@ -361,8 +393,16 @@ def _attn_kernel(
 
             m_scr[...] = m_next
             l_scr[...] = alpha * l_prev + l_cur
-            acc_scr[...] = acc_scr[...] * _bcast_cols(alpha, D) + pv
+            acc_scr[...] = acc_scr[...] * _bcast(alpha, D) + pv
 
+        # The kv-tail boundary mask is needed only on sub-tiles straddling
+        # cfg.kv_len.  For static-offset causal it is never needed: causal
+        # requires Sq == Sk == kv_len, so every REAL row r < kv_len and the
+        # causal mask cols <= r already excludes the pad columns (pad rows
+        # compute garbage that the caller slices off).  Segmented (varlen)
+        # calls pass kv_len == Sk_pad, eliding it too.
+        has_tail = cfg.kv_len < n_kv * BK or cfg.kv_len_dynamic
+        static_causal = cfg.causal and not cfg.causal_dynamic
         for t in range(n_inner):
             if cfg.causal:
                 # 3-phase structure: skip above-diagonal sub-tiles entirely,
@@ -375,19 +415,30 @@ def _attn_kernel(
                 last_q = first_q + BQ - 1
                 sub_run = first_kv <= last_q
                 full = last_kv <= first_q
+                tail = cfg.kv_len_dynamic or (
+                    (not static_causal) and has_tail)
                 pl.when(jnp.logical_and(sub_run, full))(
-                    lambda t=t: sub_tile(t, causal_mask=False))
+                    lambda t=t: sub_tile(t, causal_mask=False, tail_mask=tail))
                 pl.when(jnp.logical_and(sub_run, jnp.logical_not(full)))(
-                    lambda t=t: sub_tile(t, causal_mask=True))
+                    lambda t=t: sub_tile(t, causal_mask=True, tail_mask=tail))
+            elif has_tail:
+                col0 = j * BK + t * BKI
+                kvl = kvt_ref[0] if cfg.kv_len_dynamic else cfg.kv_len
+                inside = col0 + BKI <= kvl          # fully inside: no mask
+                beyond = col0 >= kvl                # fully past: skip
+                pl.when(inside)(lambda t=t: sub_tile(t, tail_mask=False))
+                pl.when(jnp.logical_and(jnp.logical_not(inside),
+                                        jnp.logical_not(beyond)))(
+                    lambda t=t: sub_tile(t, tail_mask=True))
             else:
-                sub_tile(t)
+                sub_tile(t, tail_mask=False)
 
     @pl.when(j == n_kv - 1)
     def _epilogue():
         D = acc_scr.shape[-1]
-        l = l_scr[...]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o = acc_scr[...] * _bcast_cols(1.0 / l_safe, D)
+        l128 = l_scr[...]
+        l_safe = jnp.where(l128 == 0.0, 1.0, l128)
+        o = acc_scr[...] * _bcast(1.0 / l_safe, D)
         if cfg.quantized and cfg.pv_dtype == "int8":
             # per-channel V scale; the extra 1/127 is the static P scale of
             # the int8-PV dot (absent whenever P stayed bf16)
@@ -399,11 +450,13 @@ def _attn_kernel(
         if cfg.fuse_v_mean:
             o = o + vm_ref[0, 0]                  # (1, D) broadcast
         o_ref[0, 0] = o.astype(o_ref.dtype)
-        # lse in base 2 (converted to natural log by the host wrapper,
-        # matching `core.py:328-331`); subtract the fp8 offset carried by l.
-        off = FP8_OFFSET_LOG2 if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0
-        lse = m_scr[:, :1] + jnp.log2(jnp.maximum(l[:, :1], 1e-37)) - off
-        lse_ref[0, 0] = lse  # (BQ, 1)
+        if cfg.emit_lse:
+            # lse in base 2 (converted to natural log by the host wrapper,
+            # matching `core.py:328-331`); minus the fp8 offset carried by l.
+            off = (FP8_OFFSET_LOG2
+                   if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0)
+            lse = m_scr[:, :1] + jnp.log2(jnp.maximum(l_scr[:, :1], 1e-37)) - off
+            lse_ref[0, 0] = lse  # (BQ, 1)
 
 
 def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented):
@@ -416,6 +469,13 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented):
         # steps re-use the resident block (no DMA for skipped tiles)
         def kv_idx(i, j):
             return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
+    elif not cfg.causal and cfg.kv_len < Sk:
+        # clamp past-the-end blocks to the last live one (skipped steps
+        # re-use the resident block instead of fetching dead padding)
+        last_live = (cfg.kv_len - 1) // BK
+
+        def kv_idx(i, j):
+            return jnp.minimum(j, last_live)
     else:
         def kv_idx(i, j):
             return j
@@ -454,6 +514,7 @@ def attention_call(
     #                    the per-row cap qs_i*||q8_i||*kn_max itself
     #                    (softmax_mode="static" only)
     v_mean=None,       # [B, Hk, 1, D] f32 (fuse_v_mean only)
+    kv_true_dyn=None,  # () int32 true kv length (kv_len_dynamic only)
     *,
     cfg: AttnConfig,
     interpret: bool = False,
@@ -494,6 +555,10 @@ def attention_call(
         assert offsets is not None, "causal_dynamic needs (q_start, kv_start)"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(offsets.astype(jnp.int32))
+    if cfg.kv_len_dynamic:
+        assert kv_true_dyn is not None, "kv_len_dynamic needs kv_true_dyn"
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(kv_true_dyn, jnp.int32).reshape(1))
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
     if cfg.quantized:
@@ -535,16 +600,20 @@ def attention_call(
             inputs.append(minfo)
 
     out_shape_o = jax.ShapeDtypeStruct((B, Hq, Sq, D), cfg.out_dtype)
-    out_shapes = (out_shape_o, jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32))
+    out_shapes = (out_shape_o,)
+    out_specs = (o_spec,)
+    if cfg.emit_lse:
+        out_shapes += (jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),)
+        out_specs += (lse_spec,)
 
     kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv)
     flops = 4 * B * Hq * Sq * Sk * D // (2 if cfg.causal else 1)
 
-    out, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(B, Hq, n_q, n_kv),
         in_specs=in_specs,
-        out_specs=(o_spec, lse_spec),
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((BQ, LANES), jnp.float32),
@@ -564,4 +633,7 @@ def attention_call(
         ),
         interpret=interpret,
     )(*inputs)
-    return out, lse[..., 0]
+    if cfg.emit_lse:
+        out, lse = res
+        return out, lse[..., 0]
+    return res[0], None

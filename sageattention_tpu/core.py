@@ -126,6 +126,15 @@ def _sage_attention(
     # whenever the P path is bf16 (exact-equivalent, fewer VPU ops and no
     # cross-sub-tile dependency) and online otherwise.
     interpret: Optional[bool] = None,
+    use_fused: Optional[bool] = None,  # None: fused Pallas prep on compiled
+    # runs, jnp prep on interpret runs.  Tests force True to exercise the
+    # fused pipeline (incl. NHD-direct) under the CPU interpreter.
+    kv_true: int = 0,  # true kv length when the k/v inputs arrive ALREADY
+    # padded beyond it (ulysses shards, pre-padded serving buffers): kv
+    # columns >= kv_true are masked by the kernel and excluded from every
+    # statistic (K mean, head amax, V channel stats, static-softmax caps).
+    # q rows past the matching true length produce garbage the caller
+    # slices off.
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
     ``block_q``/``block_k`` of 0 select tuned sizes for the shape.
@@ -135,20 +144,35 @@ def _sage_attention(
     (B,S,H,D) per-head natively — see ops/attention.py).
     """
     layout = get_layout(tensor_layout)
-    if not layout.is_hnd:
+    if interpret is None:
+        interpret = dispatch.default_interpret()
+    if use_fused is None:
+        use_fused = not interpret
+    # NHD-direct (r3): the fused quant kernels read (B,S,H,D) blocks and
+    # write HND int8, and the attention kernel writes its output block NHD
+    # — no layout copy anywhere (the reference consumes both layouts via
+    # strides, `core.py:160-171`).  The fp8-PV V quant is a host jnp pass
+    # coded for HND, so that mode (numerics-parity only on v5e) and the
+    # interpret path keep the explicit transpose.
+    nhd_direct = (not layout.is_hnd) and use_fused and pv_dtype != "fp8"
+    if not layout.is_hnd and not nhd_direct:
         q = jnp.swapaxes(q, 1, 2)
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
-    B, Hq, Sq, D_og = q.shape
-    _, Hk, Sk, _ = k.shape
+    seq_ax = 1 if nhd_direct else 2
+    if nhd_direct:
+        B, Sq, Hq, D_og = q.shape
+        _, Sk, Hk, _ = k.shape
+    else:
+        B, Hq, Sq, D_og = q.shape
+        _, Hk, Sk, _ = k.shape
+    in_layout = "NHD" if nhd_direct else "HND"
     if Hq % Hk != 0:
         raise ValueError(f"num_qo_heads ({Hq}) must be divisible by num_kv_heads ({Hk})")
     if is_causal and Sq != Sk:
         raise ValueError("is_causal requires qo_len == kv_len (as in the reference)")
     if sm_scale is None:
         sm_scale = 1.0 / (D_og ** 0.5)
-    if interpret is None:
-        interpret = dispatch.default_interpret()
     if qk_quant_gran not in quant_ops.QUANT_GRANULARITIES:
         raise ValueError(f"unknown qk_quant_gran {qk_quant_gran!r}")
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
@@ -163,7 +187,6 @@ def _sage_attention(
         softmax_mode = ("static" if (pv_dtype != "fp8" and masked != "float")
                         else "online")
 
-    use_fused = not interpret
     if use_fused:
         from .ops import quant_pallas as qp
 
@@ -173,12 +196,25 @@ def _sage_attention(
     # amax (worst case near-constant K).  On the fused path a single-read
     # Pallas stats kernel computes them post-pad with the pad rows masked;
     # the jnp path computes them pre-pad.
+    Sk_true = kv_true if kv_true else Sk
+    if not (0 < Sk_true <= Sk):
+        raise ValueError(f"kv_true {kv_true} out of range for kv_len {Sk}")
+    kv_valid_in = None
+    if Sk_true != Sk:  # pre-padded inputs: mask pads out of the jnp stats
+        kv_valid_in = jnp.expand_dims(
+            (jnp.arange(Sk) < Sk_true)[None],
+            (2, 3) if seq_ax == 1 else (1, 3))
     km = None
     ks_sc = None
     vf_stats = None
     if not use_fused:
-        km = quant_ops.k_mean(k, "HND") if smooth_k else None
-    q, D = pad_head_dim(q, HND_LAYOUT)
+        if smooth_k and kv_valid_in is not None:
+            kf0 = k.astype(jnp.float32)
+            km = (jnp.sum(kf0 * kv_valid_in, axis=seq_ax, keepdims=True)
+                  / Sk_true)
+        elif smooth_k:
+            km = quant_ops.k_mean(k, "HND")
+    q, D = pad_head_dim(q, HND_LAYOUT)  # dim axis is 3 in both layouts
     k, _ = pad_head_dim(k, HND_LAYOUT)
     v, _ = pad_head_dim(v, HND_LAYOUT)
     if km is not None:
@@ -216,38 +252,51 @@ def _sage_attention(
     if k_scale_mode not in ("head", "fine"):
         raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
     if not use_fused:
+        kvw = kv_valid_in if kv_valid_in is not None else 1.0
         if k_scale_mode == "head":
             kf = k.astype(jnp.float32)
-            amax = jnp.max(jnp.abs(kf - km if km is not None else kf),
+            amax = jnp.max(jnp.abs(kf - km if km is not None else kf) * kvw,
                            axis=(2, 3), keepdims=True)
             ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)  # [B,Hk,1,1]
         if pv_dtype in ("int8", "fp8"):
             vf = v.astype(jnp.float32)
-            vm_s = jnp.mean(vf, axis=2, keepdims=True) if smooth_v else None
+            if smooth_v:
+                vm_s = (jnp.mean(vf, axis=2, keepdims=True)
+                        if kv_valid_in is None else
+                        jnp.sum(vf * kvw, axis=2, keepdims=True) / Sk_true)
+            else:
+                vm_s = None
             vc = vf - vm_s if smooth_v else vf
-            v_amax = jnp.max(jnp.abs(vc), axis=2, keepdims=True)  # [B,Hk,1,D]
+            v_amax = jnp.max(jnp.abs(vc) * kvw,
+                             axis=2, keepdims=True)  # [B,Hk,1,D]
             vf_stats = (vm_s, v_amax)
-    q = pad_axis(q, 2, Sq_pad)
-    k = pad_axis(k, 2, Sk_pad)
-    v = pad_axis(v, 2, Sk_pad)
+    q = pad_axis(q, seq_ax, Sq_pad)
+    k = pad_axis(k, seq_ax, Sk_pad)
+    v = pad_axis(v, seq_ax, Sk_pad)
     if use_fused:
-        kv_valid = (jnp.arange(Sk_pad) < Sk)[None, None, :, None]
+        kv_valid = jnp.expand_dims(
+            (jnp.arange(Sk_pad) < Sk_true)[None],
+            (1, 3) if seq_ax == 2 else (2, 3))
         if smooth_k:
-            km, k_amax_ch = qp.channel_stats_pallas(k, Sk)
+            km, k_amax_ch = qp.channel_stats_pallas(
+                k, Sk_true, in_layout=in_layout, interpret=interpret)
         elif k_scale_mode == "head":
             # no-smoothing path (non-default): plain masked amax
-            k_amax_ch = jnp.max(jnp.abs(k.astype(jnp.float32))
-                                * kv_valid, axis=2, keepdims=True)
+            a = jnp.max(jnp.abs(k.astype(jnp.float32)) * kv_valid,
+                        axis=seq_ax, keepdims=True)
+            k_amax_ch = jnp.swapaxes(a, 1, 2) if nhd_direct else a
         if k_scale_mode == "head":
             amax = jnp.max(k_amax_ch, axis=3, keepdims=True)
             ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
         if pv_dtype in ("int8", "fp8"):
             if smooth_v:
-                vf_stats = qp.channel_stats_pallas(v, Sk)
+                vf_stats = qp.channel_stats_pallas(
+                    v, Sk_true, in_layout=in_layout, interpret=interpret)
             else:
-                v_amax = jnp.max(jnp.abs(v.astype(jnp.float32))
-                                 * kv_valid, axis=2, keepdims=True)
-                vf_stats = (None, v_amax)
+                a = jnp.max(jnp.abs(v.astype(jnp.float32)) * kv_valid,
+                            axis=seq_ax, keepdims=True)
+                vf_stats = (None,
+                            jnp.swapaxes(a, 1, 2) if nhd_direct else a)
 
     # Quantize Q/K (sm_scale*log2e folded into Q).  On TPU the fused Pallas
     # quant kernels read bf16 once / write int8 once (ops/quant_pallas.py);
@@ -262,21 +311,29 @@ def _sage_attention(
         if k_scale_mode == "head":
             if want_cap:
                 k_i8, k_capmax = qp.quant_int8_fixed_pallas(
-                    k, ks_sc, sub=km, with_capmax=True, s_true=Sk)
+                    k, ks_sc, sub=km, with_capmax=True, s_true=Sk_true,
+                    in_layout=in_layout, interpret=interpret)
             else:
-                k_i8 = qp.quant_int8_fixed_pallas(k, ks_sc, sub=km)
+                k_i8 = qp.quant_int8_fixed_pallas(
+                    k, ks_sc, sub=km, in_layout=in_layout,
+                    interpret=interpret)
             k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
         elif want_cap:
             k_i8, k_s, k_capmax = qp.quant_int8_groupwise_pallas(
-                k, k_group, sub=km, with_capmax=True, s_true=Sk)
+                k, k_group, sub=km, with_capmax=True, s_true=Sk_true,
+                in_layout=in_layout, interpret=interpret)
         else:
-            k_i8, k_s = qp.quant_int8_groupwise_pallas(k, k_group, sub=km)
+            k_i8, k_s = qp.quant_int8_groupwise_pallas(
+                k, k_group, sub=km, in_layout=in_layout, interpret=interpret)
         # single-pass Q quant + cap reduction (static-softmax input)
         if want_cap:
             q_i8, q_s, q_capmax = qp.quant_int8_groupwise_pallas(
-                q, q_group, fold=fold, with_capmax=True)
+                q, q_group, fold=fold, with_capmax=True, in_layout=in_layout,
+                interpret=interpret)
         else:
-            q_i8, q_s = qp.quant_int8_groupwise_pallas(q, q_group, fold=fold)
+            q_i8, q_s = qp.quant_int8_groupwise_pallas(
+                q, q_group, fold=fold, in_layout=in_layout,
+                interpret=interpret)
     elif k_scale_mode == "head":
         q_i8, q_s = quant_ops.quant_int8_groupwise(q, q_group, fold=fold)
         kf = k.astype(jnp.float32)
@@ -286,7 +343,12 @@ def _sage_attention(
     else:
         q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
             q, k, km, sm_scale, q_group, k_group, "HND")
-    q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
+    if nhd_direct:
+        # NHD quant kernels return per-row scales directly ([B,H,S,1]) —
+        # no host expand pass
+        q_scale = q_s
+    else:
+        q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
     q_scale_prefold = q_scale
     if k_scale_mode == "head":
         ks_head = k_s[:, :, 0]  # [B, Hk]
@@ -294,6 +356,8 @@ def _sage_attention(
             ks_head = jnp.repeat(ks_head, Hq // Hk, axis=1)
         q_scale = q_scale * ks_head[:, :, None, None]
         k_scale = None
+    elif nhd_direct:
+        k_scale = jnp.swapaxes(k_s, 2, 3)   # per-row [B,Hk,S,1] -> per-col
     else:
         k_scale = quant_ops.expand_scales_cols(k_s, k_group, Sk_pad)
 
@@ -301,12 +365,16 @@ def _sage_attention(
     v_scale = None
     vm = None
     if pv_dtype == "bf16":
-        v_in = v.astype(jnp.bfloat16)
+        # unquantized V must still reach the kernel HND; NHD-direct pays
+        # one V transpose here (the quantized default pays none)
+        v_in = (jnp.swapaxes(v, 1, 2) if nhd_direct else v
+                ).astype(jnp.bfloat16)
     elif pv_dtype == "int8":
         vm, v_amax = vf_stats
         v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
         if use_fused:
-            v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
+            v_in = qp.quant_int8_fixed_pallas(
+                v, v_scale, sub=vm, in_layout=in_layout, interpret=interpret)
         else:
             vc = v.astype(jnp.float32) - vm if vm is not None else v.astype(jnp.float32)
             v_in = jnp.clip(jnp.rint(vc / v_scale), -127, 127).astype(jnp.int8)
@@ -352,7 +420,7 @@ def _sage_attention(
         if k_capmax is None:
             kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)),
                                   axis=3))                     # [B,Hk,Sk_pad]
-            kn = jnp.where(jnp.arange(Sk_pad) < Sk, kn, 0.0)
+            kn = jnp.where(jnp.arange(Sk_pad) < Sk_true, kn, 0.0)
             if k_scale_mode == "head":  # ks folded into q_scale downstream
                 k_capmax = jnp.max(kn, axis=2)[:, :, None, None]
             else:
@@ -382,11 +450,16 @@ def _sage_attention(
         if smooth_k:
             row_lo_min = 0.0
         else:
-            km_all = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
+            km_all = jnp.mean(k.astype(jnp.float32), axis=seq_ax,
+                              keepdims=True)
+            if nhd_direct:
+                km_all = jnp.swapaxes(km_all, 1, 2)      # -> [B,Hk,1,D]
             if Hq != Hk:
                 km_all = jnp.repeat(km_all, Hq // Hk, axis=1)
-            row_lo = jnp.einsum("bhsd,bhod->bhs", q.astype(jnp.float32),
-                                km_all)[..., None] * (sm_scale * LOG2E)
+            row_lo = jnp.einsum(
+                "bshd,bhod->bhs" if nhd_direct else "bhsd,bhod->bhs",
+                q.astype(jnp.float32), km_all
+            )[..., None] * (sm_scale * LOG2E)
             row_lo_min = jnp.min(row_lo, axis=2, keepdims=True)
         safe_base = jnp.all(cap_bh - row_lo_min <= 80.0)
         # Tighter (but costlier — a full q8/k8 read) per-row bound: the
@@ -425,10 +498,11 @@ def _sage_attention(
     def _call(mode):
         cfg = AttnConfig(
             block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
-            quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk,
+            quantized=True, pv_dtype=pv_dtype, layout="HND", kv_len=Sk_true,
             out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
             masked=masked, fold_k_scale=(k_scale_mode == "head"),
             compute_dtype=compute_dtype, softmax_mode=mode,
+            emit_lse=return_lse,  # inference callers skip the lse store
             # smooth_v repair (o += vm) fused into the kernel epilogue —
             # the reference's fuse_v_mean kernels; saves an output-sized
             # read+write on the host
@@ -448,19 +522,26 @@ def _sage_attention(
         out, lse_b2 = _call(softmax_mode)
 
     # Slice padding.
-    out = out[:, :, :Sq, :D_og]
-    if not layout.is_hnd:
-        out = jnp.swapaxes(out, 1, 2)
+    if nhd_direct:
+        # one XLA transpose for the output only (Mosaic cannot write
+        # per-head NHD blocks — benchsuite/probe_nhd.py); the three input
+        # transposes are gone, absorbed by the NHD quant kernels
+        out = jnp.swapaxes(out, 1, 2)[:, :Sq, :, :D_og]
+    else:
+        out = out[:, :, :Sq, :D_og]
+        if not layout.is_hnd:
+            out = jnp.swapaxes(out, 1, 2)
 
     if not return_lse:
         return out
     lse_correction = None
     if smooth_k:
         # (q . km) * sm_scale per row, natural-log units (`core.py:784-788`).
-        qh = q[:, :, :Sq]
+        qh = q[:, :Sq] if nhd_direct else q[:, :, :Sq]
         kmh = km if km.shape[1] == Hq else jnp.repeat(km, Hq // Hk, axis=1)
         lse_correction = jnp.einsum(
-            "bhsd,bhod->bhs", qh.astype(jnp.float32), kmh.astype(jnp.float32)
+            "bshd,bhod->bhs" if nhd_direct else "bhsd,bhod->bhs",
+            qh.astype(jnp.float32), kmh.astype(jnp.float32)
         ) * sm_scale
     return out, _finish_lse(lse_b2, lse_correction, Sq)
 
@@ -801,7 +882,7 @@ def flash_attention(
     cfg = AttnConfig(
         block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
         quantized=False, layout="HND", sm_scale=sm_scale, kv_len=Sk,
-        out_dtype=jnp.bfloat16,
+        out_dtype=jnp.bfloat16, emit_lse=return_lse,
     )
     out, lse_b2 = attention_call(q, k, v, cfg=cfg, interpret=interpret)
     out = out[:, :, :Sq, :D_og]

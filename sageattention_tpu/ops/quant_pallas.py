@@ -39,14 +39,43 @@ BLOCK_S = 4096  # rows per grid step (multiple of every supported group
 # preamble ran 4x slower than HBM peak with 512-row blocks).
 
 
+def _seg_run_max(a3, s3, group):
+    """Per-row max over the row's contiguous same-segment run WITHIN its
+    group: a3/s3 are (n_g, group, 1) row-amax / segment-id views.  Two
+    Hillis–Steele doubling passes (prefix + suffix run max) on the tiny
+    reduced vectors — segments are contiguous, so an equal id at distance
+    ``sh`` implies every row between matches too."""
+    def sweep(m, down):
+        sh = 1
+        while sh < group:
+            if down:  # pull from earlier rows
+                ms = jnp.pad(m, ((0, 0), (sh, 0), (0, 0)),
+                             constant_values=-jnp.inf)[:, :group]
+                ss = jnp.pad(s3, ((0, 0), (sh, 0), (0, 0)),
+                             constant_values=-9)[:, :group]
+            else:     # pull from later rows
+                ms = jnp.pad(m, ((0, 0), (0, sh), (0, 0)),
+                             constant_values=-jnp.inf)[:, sh:]
+                ss = jnp.pad(s3, ((0, 0), (0, sh), (0, 0)),
+                             constant_values=-9)[:, sh:]
+            m = jnp.where(ss == s3, jnp.maximum(m, ms), m)
+            sh *= 2
+        return m
+    fw = sweep(a3, True)
+    bw = sweep(a3, False)
+    return jnp.maximum(fw, bw)
+
+
 def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
                   block_s: int, with_norm: bool, with_dot: bool = False,
-                  capmax: bool = False, n_blocks: int = 1, s_true: int = 0):
+                  capmax: bool = False, n_blocks: int = 1, s_true: int = 0,
+                  segmented: bool = False):
     it = iter(refs)
     x_ref = next(it)
     sub_ref = next(it) if has_sub else None
     sin_ref = next(it) if mode in ("scalar", "channel") else None
     dotw_ref = next(it) if with_dot else None
+    seg_ref = next(it) if segmented else None
     out_ref = next(it)
     sout_ref = next(it) if mode == "group" else None
     norm_ref = next(it) if with_norm else None
@@ -89,13 +118,28 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
         # that regroup lanes, e.g. (n_g, group) -> (rows, 1)).
         a_row = jnp.max(jnp.abs(x), axis=1, keepdims=True)       # (BLK, 1)
         a3 = a_row.reshape(n_g, group, 1)
-        g_amax = jnp.max(a3, axis=1, keepdims=True)              # (n_g,1,1)
-        scale3 = jnp.where(g_amax > 0, g_amax * (1.0 / 127.0), 1.0)
-        inv_row = jnp.broadcast_to(1.0 / scale3, (n_g, group, 1)
-                                   ).reshape(block_s, 1)
-        q2d = jnp.clip(jnp.rint(x * inv_row), -127, 127)
-        out_ref[0, 0] = q2d.astype(jnp.int8)
-        sout_ref[0, 0] = scale3[:, 0]
+        if segmented:
+            # scales confined to (group ∩ segment): a scale group
+            # straddling a sequence boundary must not couple one request's
+            # quantization to a neighbor's outliers (the reference starts
+            # fresh scale blocks per sequence,
+            # `triton/quant_per_block_varlen.py:72-76`)
+            s3 = seg_ref[0, 0].reshape(n_g, group, 1)
+            g_rows = _seg_run_max(a3, s3, group)                 # per row
+            scale_row3 = jnp.where(g_rows > 0, g_rows * (1.0 / 127.0), 1.0)
+            inv_row = (1.0 / scale_row3).reshape(block_s, 1)
+            q2d = jnp.clip(jnp.rint(x * inv_row), -127, 127)
+            out_ref[0, 0] = q2d.astype(jnp.int8)
+            # per-row scale output (segment runs don't align to groups)
+            sout_ref[0, 0] = scale_row3.reshape(block_s, 1)
+        else:
+            g_amax = jnp.max(a3, axis=1, keepdims=True)          # (n_g,1,1)
+            scale3 = jnp.where(g_amax > 0, g_amax * (1.0 / 127.0), 1.0)
+            inv_row = jnp.broadcast_to(1.0 / scale3, (n_g, group, 1)
+                                       ).reshape(block_s, 1)
+            q2d = jnp.clip(jnp.rint(x * inv_row), -127, 127)
+            out_ref[0, 0] = q2d.astype(jnp.int8)
+            sout_ref[0, 0] = scale3[:, 0]
         if with_norm:
             norm_ref[0, 0] = jnp.sum(q2d * q2d, axis=1, keepdims=True)
         if with_dot:
@@ -104,8 +148,11 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
             w = dotw_ref[0, 0].astype(jnp.float32)
             dot_ref[0, 0] = jnp.sum(q2d * w, axis=1, keepdims=True)
         if capmax:
-            scale_row = jnp.broadcast_to(scale3, (n_g, group, 1)
-                                         ).reshape(block_s, 1)
+            if segmented:
+                scale_row = scale_row3.reshape(block_s, 1)
+            else:
+                scale_row = jnp.broadcast_to(scale3, (n_g, group, 1)
+                                             ).reshape(block_s, 1)
             _update_capmax(q2d, scale_row)
         return
     elif mode == "scalar":
@@ -122,11 +169,12 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
 
 
 def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
-          dot_with=None, with_capmax=False, s_true=0):
+          dot_with=None, with_capmax=False, s_true=0, segment_ids=None):
     B, H, S, D = x.shape
     assert S % block_s == 0 and (mode != "group" or block_s % group == 0)
     n_blocks = S // block_s
     n_g = block_s // group if mode == "group" else 1
+    segmented = segment_ids is not None
 
     in_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
     inputs = [x]
@@ -144,12 +192,24 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
         in_specs.append(pl.BlockSpec(
             (1, 1, block_s, D), lambda b, h, i: (b, h // Gh, i, 0)))
         inputs.append(dot_with)
+    if segmented:
+        # [B, S, 1] int32 segment ids, shared across heads
+        in_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+                                     lambda b, h, i: (b, 0, i, 0)))
+        inputs.append(segment_ids.astype(jnp.int32).reshape(B, 1, S, 1))
 
     out_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
     if mode == "group":
-        out_specs.append(pl.BlockSpec((1, 1, n_g, 1), lambda b, h, i: (b, h, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, S // group, 1), jnp.float32))
+        if segmented:  # per-ROW scales (runs don't align to groups)
+            out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+                                          lambda b, h, i: (b, h, i, 0)))
+            out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+        else:
+            out_specs.append(pl.BlockSpec((1, 1, n_g, 1),
+                                          lambda b, h, i: (b, h, i, 0)))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, H, S // group, 1), jnp.float32))
     if with_norm:
         out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
                                       lambda b, h, i: (b, h, i, 0)))
@@ -169,7 +229,7 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
                           has_sub=sub is not None, block_s=block_s,
                           with_norm=with_norm, with_dot=dot_with is not None,
                           capmax=with_capmax, n_blocks=n_blocks,
-                          s_true=s_true),
+                          s_true=s_true, segmented=segmented),
         grid=(B, H, n_blocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
@@ -225,11 +285,15 @@ def _stats_kernel(x_ref, mean_ref, amax_ref, sum_scr, max_scr, min_scr, *,
         amax_ref[0, 0] = jnp.maximum(max_scr[...] - mean, mean - min_scr[...])
 
 
-def channel_stats_pallas(x, s_true: int, interpret: bool = False):
-    """[B,H,S,D] -> (mean [B,H,1,D], amax(|x-mean|) [B,H,1,D]), one read.
+def channel_stats_pallas(x, s_true: int, in_layout: str = "HND",
+                         interpret: bool = False):
+    """[B,H,S,D] (or [B,S,H,D] with ``in_layout="NHD"``) ->
+    (mean [B,H,1,D], amax(|x-mean|) [B,H,1,D]), one read.
 
     ``s_true``: true sequence length (pad rows excluded from both stats).
     """
+    if in_layout == "NHD":
+        return _channel_stats_nhd(x, s_true, interpret)
     B, H, S, D = x.shape
     bs = _block_s_for(S, 1)
     assert bs, x.shape
@@ -269,6 +333,7 @@ def _block_s_for(S: int, group: int) -> int:
 def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
                                 with_norm: bool = False, dot_with=None,
                                 with_capmax: bool = False, s_true: int = 0,
+                                in_layout: str = "HND",
                                 interpret: bool = False):
     """Fused per-row-group quant: [B,H,S,D] -> (int8, scales [B,H,S//group]
     [, row sq-norms [B,H,S,1]] [, row dots vs ``dot_with`` [B,H,S,1]]
@@ -279,7 +344,18 @@ def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
     lower bound for the static softmax).
 
     ``with_capmax``: emits max over rows (< ``s_true`` if given) of
-    ``scale_row * ||x8_row||_2`` — the static-softmax cap reduction."""
+    ``scale_row * ||x8_row||_2`` — the static-softmax cap reduction.
+
+    ``in_layout="NHD"``: ``x`` is [B,S,H,D]; the int8 output (and every
+    stat) is still written HND — the layout change rides the quant read.
+    Contract difference: NHD group scales come back PER ROW [B,H,S,1]
+    (what the attention kernel consumes) instead of per group;
+    with_norm/dot_with are unsupported there."""
+    if in_layout == "NHD":
+        assert not with_norm and dot_with is None, \
+            "NHD quant supports capmax only"
+        return _call_nhd(x, sub, None, "group", group, fold, with_capmax,
+                         s_true, interpret)
     bs = _block_s_for(x.shape[2], group)
     assert bs, (x.shape, group)
     res = _call(x, sub, None, "group", group, fold, bs, with_norm, interpret,
@@ -289,17 +365,238 @@ def quant_int8_groupwise_pallas(x, group: int, fold: float = 1.0, sub=None,
     return tuple(res)
 
 
+def quant_int8_segmented_pallas(x, segment_ids, group: int, fold: float = 1.0,
+                                sub=None, with_norm: bool = False,
+                                dot_with=None, with_capmax: bool = False,
+                                s_true: int = 0, interpret: bool = False):
+    """Segment-aware fused group quant for the varlen path (r3): scales are
+    confined to (group ∩ segment) via an in-kernel run-max on the row-amax
+    vector, so one packed request's outliers cannot poison a neighbor
+    (fused analogue of `triton/quant_per_block_varlen.py:60-104`; replaces
+    the multi-pass jnp quant that made small-pack varlen prep-bound —
+    r2 VERDICT weak #3).
+
+    ``x``: [B,H,S,D] HND; ``segment_ids``: [B,S] (or [B,S,1]) int32.
+    Returns (int8, per-ROW scales [B,H,S,1][, row sq-norms][, row dots]
+    [, capmax [B,H,1,1]])."""
+    bs = _block_s_for(x.shape[2], group)
+    assert bs, (x.shape, group)
+    return _call(x, sub, None, "group", group, fold, bs, with_norm,
+                 interpret, dot_with=dot_with, with_capmax=with_capmax,
+                 s_true=s_true, segment_ids=segment_ids)
+
+
 def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,
                             with_norm: bool = False,
                             with_capmax: bool = False, s_true: int = 0,
+                            in_layout: str = "HND",
                             interpret: bool = False):
     """Fused quant with a precomputed scale: ``scale`` is [B,H,1,1]
     (per-head) or [B,H,1,D] (per-channel).  Returns int8 (+ row sq-norms /
     per-(b,h) norm capmax when asked; the scalar-mode capmax is over plain
     ``||x8_row||`` — its per-head scale is folded into q_scale downstream)."""
     mode = "scalar" if scale.shape[-1] == 1 else "channel"
+    if in_layout == "NHD":
+        assert not with_norm, "NHD quant supports capmax only"
+        return _call_nhd(x, sub, scale.astype(jnp.float32), mode, 1, fold,
+                         with_capmax, s_true, interpret)
     bs = _block_s_for(x.shape[2], 1)
     assert bs, x.shape
     return _call(x, sub, scale.astype(jnp.float32), mode, bs, fold, bs,
                  with_norm, interpret, with_capmax=with_capmax,
                  s_true=s_true)
+
+
+# ---------------------------------------------------------------------------
+# NHD (B, S, H, D) input kernels (r3).
+#
+# Mosaic rejects per-head blocks out of an NHD array (a (1, bs, 1, D) block
+# has second-minor 1, which neither divides 8 nor equals H — see
+# benchsuite/probe_nhd.py).  The legal pattern is a block covering ALL
+# heads, (1, bs, H, D) at (b, i, 0, 0): its last two dims equal the array
+# dims.  The kernel sees (bs, H, D), quantizes per head along the lane dim,
+# transposes (bs, H, .) -> (H, bs, .) in VMEM, and stores HND outputs —
+# the layout change rides the quant pass (the role the reference's
+# TransposePadPermuteKernel plays, `csrc/fused/fused.cu:262-313`).
+#
+# Contract difference vs the HND wrappers: group-mode scales are returned
+# PER ROW ([B, H, S, 1], the form the attention kernel consumes) instead of
+# per group — the in-kernel expand is free here and saves the host
+# expand_scales_rows pass.
+# ---------------------------------------------------------------------------
+
+
+def _nhd_block_s(S, H, D, group):
+    """Rows per grid step: bounded by VMEM (f32 work tile + int8/bf16
+    copies ~ 12 bytes/elem within a 48 MB budget), divides S, multiple of
+    the scale group."""
+    cap = max(group, (48 * 1024 * 1024) // max(H * D * 12, 1))
+    bs = 1 << (cap.bit_length() - 1)
+    bs = min(bs, BLOCK_S)
+    while bs > group and S % bs != 0:
+        bs //= 2
+    return bs if (S % bs == 0 and bs % group == 0) else 0
+
+
+def _quant_kernel_nhd(*refs, mode, group, fold, has_sub, block_s, capmax,
+                      n_blocks, s_true):
+    it = iter(refs)
+    x_ref = next(it)
+    sub_ref = next(it) if has_sub else None
+    sin_ref = next(it) if mode in ("scalar", "channel") else None
+    out_ref = next(it)
+    sout_ref = next(it) if mode == "group" else None
+    cap_ref = next(it) if capmax else None
+    i = pl.program_id(1)
+
+    x = x_ref[0].astype(jnp.float32)                    # (bs, H, D)
+    H = x.shape[1]
+    if has_sub:
+        x = x - sub_ref[0, :, 0].astype(jnp.float32)[None]   # (1, H, D)
+    if fold != 1.0:
+        x = x * fold
+
+    if mode == "group":
+        n_g = block_s // group
+        a = jnp.max(jnp.abs(x), axis=2, keepdims=True)  # (bs, H, 1)
+        a4 = a.reshape(n_g, group, H, 1)                # leading split only
+        g = jnp.max(a4, axis=1, keepdims=True)          # (n_g, 1, H, 1)
+        scale4 = jnp.where(g > 0, g * (1.0 / 127.0), 1.0)
+        srow = jnp.broadcast_to(scale4, (n_g, group, H, 1)
+                                ).reshape(block_s, H, 1)
+        q = jnp.clip(jnp.rint(x * (1.0 / srow)), -127, 127)
+        sout_ref[0] = jnp.swapaxes(srow, 0, 1)          # (H, bs, 1)
+        scale_for_cap = srow[:, :, 0]                   # (bs, H)
+    else:  # scalar [B,H,1,1] / channel [B,H,1,D] precomputed scales
+        sin = sin_ref[0, :, 0].astype(jnp.float32)[None]     # (1, H, 1|D)
+        q = jnp.clip(jnp.rint(x * (1.0 / sin)), -127, 127)
+        scale_for_cap = None  # scalar mode: scale folded downstream
+    out_ref[0] = jnp.swapaxes(q, 0, 1).astype(jnp.int8)      # (H, bs, D)
+
+    if capmax:
+        n2 = jnp.sum(q * q, axis=2)                     # (bs, H)
+        capv = jnp.sqrt(n2)
+        if scale_for_cap is not None:
+            capv = capv * scale_for_cap
+        if s_true and s_true < n_blocks * block_s:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, capv.shape, 0)
+                    + i * block_s)
+            capv = jnp.where(rows < s_true, capv, 0.0)
+        # keep heads in the LANE dim: a (H,) -> (H,1,1) reshape would move
+        # lanes into sublanes, which Mosaic rejects ("unsupported shape
+        # cast"); the slot tile is (8, H) sublane-replicated instead
+        cap_h = jnp.max(capv, axis=0)                   # (H,) in lanes
+        cap_ref[0] = jnp.broadcast_to(cap_h[None, :], (8, H))
+
+
+def _call_nhd(x, sub, scale_in, mode, group, fold, with_capmax, s_true,
+              interpret):
+    B, S, H, D = x.shape
+    bs = _nhd_block_s(S, H, D, group if mode == "group" else 1)
+    assert bs, (x.shape, group)
+    n_blocks = S // bs
+
+    in_specs = [pl.BlockSpec((1, bs, H, D), lambda b, i: (b, i, 0, 0))]
+    inputs = [x]
+    if sub is not None:
+        in_specs.append(pl.BlockSpec((1, H, 1, D), lambda b, i: (b, 0, 0, 0)))
+        inputs.append(sub)
+    if mode == "scalar":
+        in_specs.append(pl.BlockSpec((1, H, 1, 1), lambda b, i: (b, 0, 0, 0)))
+        inputs.append(scale_in)
+    elif mode == "channel":
+        in_specs.append(pl.BlockSpec((1, H, 1, D), lambda b, i: (b, 0, 0, 0)))
+        inputs.append(scale_in)
+
+    out_specs = [pl.BlockSpec((1, H, bs, D), lambda b, i: (b, 0, i, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
+    if mode == "group":
+        out_specs.append(pl.BlockSpec((1, H, bs, 1),
+                                      lambda b, i: (b, 0, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+    if with_capmax:
+        # per-grid-step slot tiles (8, H) with heads in lanes; the tiny
+        # cross-step max + axis shuffle happens in XLA below
+        out_specs.append(pl.BlockSpec((1, 8, H), lambda b, i: (b, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, n_blocks * 8, H),
+                                               jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_quant_kernel_nhd, mode=mode, group=group,
+                          fold=fold, has_sub=sub is not None, block_s=bs,
+                          capmax=with_capmax, n_blocks=n_blocks,
+                          s_true=s_true),
+        grid=(B, n_blocks),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shapes) if len(out_shapes) > 1 else out_shapes[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if with_capmax:
+        res = list(res)
+        res[-1] = jnp.max(res[-1], axis=1)[:, :, None, None]  # [B,H,1,1]
+        res = tuple(res)
+    return res
+
+
+def _stats_kernel_nhd(x_ref, mean_ref, amax_ref, sum_scr, max_scr, min_scr,
+                      *, n_blocks, block_s, s_true):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        sum_scr[...] = jnp.zeros_like(sum_scr)
+        max_scr[...] = jnp.full_like(max_scr, -3e38)
+        min_scr[...] = jnp.full_like(min_scr, 3e38)
+
+    x = x_ref[0].astype(jnp.float32)                    # (bs, H, D)
+    if s_true % block_s:
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + i * block_s
+        valid = rows < s_true
+        xs = jnp.where(valid, x, 0.0)
+        xmax = jnp.where(valid, x, -3e38)
+        xmin = jnp.where(valid, x, 3e38)
+    else:
+        xs = xmax = xmin = x
+    sum_scr[...] += jnp.sum(xs, axis=0)                 # (H, D)
+    max_scr[...] = jnp.maximum(max_scr[...], jnp.max(xmax, axis=0))
+    min_scr[...] = jnp.minimum(min_scr[...], jnp.min(xmin, axis=0))
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        mean = sum_scr[...] * (1.0 / s_true)
+        mean_ref[0, :, 0] = mean
+        amax_ref[0, :, 0] = jnp.maximum(max_scr[...] - mean,
+                                        mean - min_scr[...])
+
+
+def _channel_stats_nhd(x, s_true, interpret):
+    B, S, H, D = x.shape
+    bs = _nhd_block_s(S, H, D, 1)
+    assert bs, x.shape
+    n_blocks = S // bs
+    return pl.pallas_call(
+        functools.partial(_stats_kernel_nhd, n_blocks=n_blocks, block_s=bs,
+                          s_true=s_true),
+        grid=(B, n_blocks),
+        in_specs=[pl.BlockSpec((1, bs, H, D), lambda b, i: (b, i, 0, 0))],
+        out_specs=(
+            pl.BlockSpec((1, H, 1, D), lambda b, i: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, 1, D), lambda b, i: (b, 0, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((H, D), jnp.float32),
+                        pltpu.VMEM((H, D), jnp.float32),
+                        pltpu.VMEM((H, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x)

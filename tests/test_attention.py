@@ -189,3 +189,68 @@ class TestApiSurface:
         q, k, v = qkv(H=3, Hk=2)
         with pytest.raises(ValueError):
             sa.sageattn_qk_int8_pv_bf16(q, k, v)
+
+
+class TestNhdDirect:
+    """r3 zero-copy NHD path: fused quant kernels read (B,S,H,D) directly
+    and the attention kernel writes NHD output blocks (core nhd_direct).
+    Forced on under the CPU interpreter via use_fused=True."""
+
+    @pytest.mark.parametrize("pv_dtype", ["int8", "bf16"])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_hnd_pipeline(self, pv_dtype, causal):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=256, D=64, layout="NHD")
+        out_nhd = _sage_attention(q, k, v, tensor_layout="NHD",
+                                  is_causal=causal, pv_dtype=pv_dtype,
+                                  use_fused=True, interpret=True)
+        assert out_nhd.shape == q.shape
+        qh, kh, vh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        out_hnd = _sage_attention(qh, kh, vh, tensor_layout="HND",
+                                  is_causal=causal, pv_dtype=pv_dtype,
+                                  use_fused=True, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(jnp.swapaxes(out_nhd, 1, 2), dtype=np.float32),
+            np.asarray(out_hnd, dtype=np.float32), atol=1e-6)
+
+    def test_matches_oracle_gqa_unaligned(self):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=4, Hk=2, S=300, D=64, layout="NHD")
+        out = _sage_attention(q, k, v, tensor_layout="NHD", pv_dtype="int8",
+                              use_fused=True, interpret=True)
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa_nhd(q, k, v)) < 1.5e-3
+
+    def test_lse_matches_hnd(self):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=256, D=64, layout="NHD")
+        out_n, lse_n = _sage_attention(q, k, v, tensor_layout="NHD",
+                                       pv_dtype="int8", return_lse=True,
+                                       use_fused=True, interpret=True)
+        qh, kh, vh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        out_h, lse_h = _sage_attention(qh, kh, vh, tensor_layout="HND",
+                                       pv_dtype="int8", return_lse=True,
+                                       use_fused=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(lse_n), np.asarray(lse_h),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestKvTruePrePadded:
+    """r3: pre-padded inputs with kv_true < input extent — pad columns must
+    be masked even when kv_true is block-aligned (the tail predicate is
+    kv_len < extent, not kv_len % block != 0)."""
+
+    @pytest.mark.parametrize("true_len", [256, 200])
+    def test_matches_unpadded(self, true_len):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=true_len, D=64)
+        pad = 512 - true_len
+        qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        out = _sage_attention(qp, kp, vp, pv_dtype="int8", kv_true=true_len,
+                              use_fused=True, interpret=True)
+        ref = _sage_attention(q, k, v, pv_dtype="int8",
+                              use_fused=True, interpret=True)
+        assert calc_diff(out[:, :, :true_len], ref) < 2e-4
+        assert calc_diff(out[:, :, :true_len], sdpa(q, k, v)) < 1.5e-3

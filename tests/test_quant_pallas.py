@@ -123,3 +123,53 @@ def test_groupwise_with_dot():
     w_rep = jnp.repeat(w8, 2, axis=1).astype(jnp.float32)
     ref = jnp.sum(out.astype(jnp.float32) * w_rep, axis=3, keepdims=True)
     np.testing.assert_allclose(np.asarray(dot), np.asarray(ref), rtol=1e-6)
+
+
+class TestNhdInput:
+    """NHD (B,S,H,D) inputs read directly by the quant kernels (r3): the
+    layout change rides the existing single read — no transpose pass."""
+
+    def test_groupwise_nhd_matches_hnd(self):
+        # NHD contract: group scales come back PER ROW [B,H,S,1]
+        x_hnd = rand((2, 3, 256, 64), key=11)
+        x_nhd = jnp.swapaxes(x_hnd, 1, 2)
+        out_h, s_h = qp.quant_int8_groupwise_pallas(x_hnd, 32, fold=0.7,
+                                                    interpret=True)
+        out_n, s_n = qp.quant_int8_groupwise_pallas(x_nhd, 32, fold=0.7,
+                                                    in_layout="NHD",
+                                                    interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_n), np.asarray(out_h))
+        s_h_rows = quant.expand_scales_rows(s_h, 32, 256)
+        assert s_n.shape == (2, 3, 256, 1)
+        np.testing.assert_allclose(np.asarray(s_n), np.asarray(s_h_rows))
+
+    def test_groupwise_nhd_capmax(self):
+        x_hnd = rand((1, 2, 512, 64), key=12)
+        x_nhd = jnp.swapaxes(x_hnd, 1, 2)
+        out_h, s_h, cap_h = qp.quant_int8_groupwise_pallas(
+            x_hnd, 32, with_capmax=True, interpret=True)
+        out_n, s_n, cap_n = qp.quant_int8_groupwise_pallas(
+            x_nhd, 32, with_capmax=True, in_layout="NHD", interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_n), np.asarray(out_h))
+        np.testing.assert_allclose(np.asarray(cap_n), np.asarray(cap_h))
+
+    def test_fixed_nhd_with_sub(self):
+        x_hnd = rand((1, 2, 256, 64), key=13)
+        x_nhd = jnp.swapaxes(x_hnd, 1, 2)
+        sub = jnp.mean(x_hnd, axis=2, keepdims=True)
+        amax = jnp.max(jnp.abs(x_hnd - sub), axis=2, keepdims=True)
+        scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        out_h = qp.quant_int8_fixed_pallas(x_hnd, scale, sub=sub,
+                                           interpret=True)
+        out_n = qp.quant_int8_fixed_pallas(x_nhd, scale, sub=sub,
+                                           in_layout="NHD", interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_n), np.asarray(out_h))
+
+    def test_channel_stats_nhd(self):
+        x_hnd = rand((1, 2, 512, 64), key=14, scale=3.0)
+        x_nhd = jnp.swapaxes(x_hnd, 1, 2)
+        m_h, a_h = qp.channel_stats_pallas(x_hnd, 512, interpret=True)
+        m_n, a_n = qp.channel_stats_pallas(x_nhd, 512, in_layout="NHD",
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(m_n), np.asarray(m_h))
+        np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_h))

@@ -85,9 +85,21 @@ def sageattn_varlen(
     if is_causal:
         # per-sequence causal == global-causal AND same-segment only holds
         # when the q and k packings are identical (reference requires
-        # qo_len == kv_len for causal, `core.py:379`).
+        # qo_len == kv_len for causal, `core.py:379`).  The check must be
+        # LOUD even under jit: a traced caller with mismatched ragged
+        # layouts would otherwise get a silently misaligned causal mask
+        # (r2 VERDICT weak #5), so tracers are accepted only when the two
+        # packings are literally the same array object.
         cq, ck = cu_seqlens_q, cu_seqlens_k
-        if not (isinstance(cq, jax.core.Tracer) or isinstance(ck, jax.core.Tracer)):
+        if cq is not ck:
+            if (isinstance(cq, jax.core.Tracer)
+                    or isinstance(ck, jax.core.Tracer)):
+                raise ValueError(
+                    "is_causal=True under jit requires cu_seqlens_q and "
+                    "cu_seqlens_k to be the SAME array (their equality "
+                    "cannot be verified on tracers, and a mismatched "
+                    "packing would silently corrupt the causal mask); pass "
+                    "one array for both, or concrete (numpy) cu_seqlens")
             import numpy as _np
             if not _np.array_equal(_np.asarray(cq), _np.asarray(ck)):
                 raise ValueError(
@@ -98,6 +110,11 @@ def sageattn_varlen(
     interpret = kwargs.pop("interpret", None)
     if interpret is None:
         interpret = dispatch.default_interpret()
+    use_fused = kwargs.pop("use_fused", None)
+    if use_fused is None:
+        use_fused = not interpret
+    if use_fused:
+        from .ops import quant_pallas as qp
     caps = dispatch.detect()
     if pv_dtype is None:
         pv_dtype = caps.default_pv_dtype
@@ -136,17 +153,96 @@ def sageattn_varlen(
     kv_seg = jnp.where(jnp.arange(Tk_pad) < Tk, kv_seg, -2)
 
     # Whole-batch K mean (reference approximation, `core.py:429-434`) —
-    # computed over real tokens only.
+    # computed over real tokens only (fused single-read stats kernel on the
+    # compiled path).
     km = None
     if smooth_k:
-        kh = kb.astype(jnp.float32)  # [1, Hk, Tk_pad, D]
-        valid = (jnp.arange(Tk_pad) < Tk)[None, None, :, None]
-        km = jnp.sum(kh * valid, axis=2, keepdims=True) / jnp.maximum(Tk, 1)
+        if use_fused:
+            km, _ = qp.channel_stats_pallas(kb, Tk, interpret=interpret)
+        else:
+            kh = kb.astype(jnp.float32)  # [1, Hk, Tk_pad, D]
+            valid = (jnp.arange(Tk_pad) < Tk)[None, None, :, None]
+            km = (jnp.sum(kh * valid, axis=2, keepdims=True)
+                  / jnp.maximum(Tk, 1))
+
+    # same-pack determination moved up: it decides softmax_mode, which in
+    # turn decides which safety statistics the fused quant kernels emit.
+    same_pack = Tq == Tk and cu_seqlens_q is cu_seqlens_k
+    if not same_pack and Tq == Tk and not (
+            isinstance(cu_seqlens_q, jax.core.Tracer)
+            or isinstance(cu_seqlens_k, jax.core.Tracer)):
+        import numpy as _np
+        same_pack = _np.array_equal(_np.asarray(cu_seqlens_q),
+                                    _np.asarray(cu_seqlens_k))
+    if softmax_mode == "auto":
+        softmax_mode = ("static" if (pv_dtype != "fp8"
+                                     and attn_mask is None and same_pack)
+                        else "online")
+    elif softmax_mode == "static" and not same_pack:
+        # The static-safety predicate anchors each row's max VISIBLE logit
+        # at the diagonal logit q_i . k_i, which is only a visible logit
+        # when the q and k packings align row-for-row.  With mismatched
+        # packings the bound is invalid: safety could be approved while
+        # every visible logit underflows (ADVICE r2).  Refuse loudly.
+        raise ValueError(
+            "softmax_mode='static' requires matching q/k packings "
+            "(cu_seqlens_q == cu_seqlens_k, verifiable at trace time); "
+            "the static-safety bound is anchored on the diagonal logit, "
+            "which mismatched packings may hide.  Use softmax_mode='auto' "
+            "or 'online'.")
+    want_static = softmax_mode == "static"
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
     fold_k = compute_dtype == "bf16"
     # Segment-aware quant: per-row scales confined to (group ∩ segment);
-    # padding rows carry their own (harmless) scales.
+    # padding rows carry their own (harmless) scales.  On the compiled
+    # path this is ONE fused Pallas pass per tensor — including the
+    # static-softmax safety statistics (capmax, row norms, diagonal
+    # logits), which previously ran as separate jnp passes and ate the
+    # static win at small packs (r2 VERDICT weak #3).
+    qn2 = diag_dot = kn_max_raw = None
+    if use_fused and not fold_k:
+        if want_static:
+            k_i8, ks_row4, kn_max_raw = qp.quant_int8_segmented_pallas(
+                kb, kv_seg, k_group, sub=km, with_capmax=True, s_true=Tk,
+                interpret=interpret)
+            # Tk_pad >= Tq_pad in native mode (block_k cap >= block_q cap),
+            # so the row-aligned diag dot can index k_i8 by q blocks
+            assert Tk_pad >= Tq_pad, (Tq_pad, Tk_pad)
+            q_i8, q_srow4, qn2, diag_dot = qp.quant_int8_segmented_pallas(
+                qb, q_seg, q_group, fold=sm_scale * LOG2E, with_norm=True,
+                dot_with=k_i8, interpret=interpret)
+        else:
+            k_i8, ks_row4 = qp.quant_int8_segmented_pallas(
+                kb, kv_seg, k_group, sub=km, interpret=interpret)
+            q_i8, q_srow4 = qp.quant_int8_segmented_pallas(
+                qb, q_seg, q_group, fold=sm_scale * LOG2E,
+                interpret=interpret)
+        q_scale = q_srow4                             # [1, Hq, Tq_pad, 1]
+        k_scale = jnp.swapaxes(ks_row4, 2, 3)         # [1, Hk, 1, Tk_pad]
+        kv_valid = (jnp.arange(Tk_pad) < Tk)[None, None, :, None]
+        if pv_dtype == "bf16":
+            v_in = vb.astype(jnp.bfloat16)
+            v_scale = vm = None
+        elif pv_dtype in ("int8", "fp8"):
+            vm, v_amax = qp.channel_stats_pallas(vb, Tk, interpret=interpret)
+            if pv_dtype == "int8":
+                v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
+                v_in = qp.quant_int8_fixed_pallas(vb, v_scale, sub=vm,
+                                                  interpret=interpret)
+            else:
+                v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 448.0), 1.0)
+                v_in = ((vb.astype(jnp.float32) - vm) / v_scale
+                        ).astype(jnp.float8_e4m3fn)
+        else:
+            raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
+        return _varlen_finish(
+            q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm, km,
+            q_seg, kv_seg, attn_mask, qn2, diag_dot, kn_max_raw,
+            softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
+            block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
+            Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret)
+
     q_i8, q_srow = quant_ops.quant_int8_groupwise_segmented(
         qb, q_seg, q_group, fold=sm_scale * LOG2E)
     q_scale = q_srow[..., None]                       # [1, Hq, Tq_pad, 1]
@@ -198,6 +294,23 @@ def sageattn_varlen(
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 
+    return _varlen_finish(
+        q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm, km,
+        q_seg, kv_seg, attn_mask, None, None, None,
+        softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
+        block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
+        Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret)
+
+
+def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
+                   km, q_seg, kv_seg, attn_mask, qn2, diag_dot, kn_max_raw,
+                   softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
+                   block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
+                   Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret):
+    """Shared varlen tail: mask prep, static-softmax safety, kernel call,
+    unpacking.  ``qn2``/``diag_dot``/``kn_max_raw`` are the fused quant
+    kernels' safety statistics (row sq-norms, row diagonal dots, K-side
+    capmax); None means compute them here in jnp (interpret path)."""
     masked = "none"
     mask_in = None
     if attn_mask is not None:
@@ -211,25 +324,6 @@ def sageattn_varlen(
             attn_mask.astype(jnp.int8 if is_bool else jnp.float32)[None],
             2, Tq_pad), 3, Tk_pad)                    # [1, Hm, Tq_pad, Tk_pad]
 
-    # Static softmax (the flagship mode) for the packed path.  The
-    # Cauchy–Schwarz cap is an upper bound over ALL columns, so it covers
-    # the segment-masked rows a fortiori; the safety lower bound on each
-    # row's max VISIBLE logit is the diagonal logit q_i.k_i, which sits in
-    # row i's own segment whenever the q and k packings are identical
-    # (guaranteed for causal; checked for dense).  Other configurations
-    # keep the online softmax — correct, just without the static win.
-    if softmax_mode == "auto":
-        same_pack = Tq == Tk and cu_seqlens_q is cu_seqlens_k
-        if not same_pack and Tq == Tk and not (
-                isinstance(cu_seqlens_q, jax.core.Tracer)
-                or isinstance(cu_seqlens_k, jax.core.Tracer)):
-            import numpy as _np
-            same_pack = _np.array_equal(_np.asarray(cu_seqlens_q),
-                                        _np.asarray(cu_seqlens_k))
-        softmax_mode = ("static" if (pv_dtype != "fp8"
-                                     and attn_mask is None and same_pack)
-                        else "online")
-
     def _cfg(mode):
         return AttnConfig(
             block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
@@ -238,33 +332,48 @@ def sageattn_varlen(
             out_dtype=q.dtype, segmented=True, masked=masked,
             compute_dtype=compute_dtype, fold_k_scale=fold_k,
             fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
-            softmax_mode=mode,
+            softmax_mode=mode, emit_lse=return_lse,
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
         )
 
     kn_max_in = None
     static_safe = None
     if softmax_mode == "static":
-        kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)), axis=3))
-        kn = jnp.where((jnp.arange(Tk_pad) < Tk)[None, None, :], kn, 0.0)
-        if fold_k:  # per-segment K scale folded into q_scale
-            kfac = kn
+        if kn_max_raw is not None:
+            # everything came out of the fused quant passes
+            kn_max_in = kn_max_raw                            # [1,Hk,1,1]
+            if Hq != Hk:
+                kn_max_in = jnp.repeat(kn_max_in, Hq // Hk, axis=1)
+            qn = jnp.sqrt(qn2)                                # [1,Hq,Tq_pad,1]
+            cap_row = q_scale * qn * kn_max_in * (1.0 + 1e-5)
+            diag = diag_dot * q_scale
+            ks_rows = jnp.swapaxes(k_scale, 2, 3)[:, :, :Tq_pad]
+            if Hq != Hk:
+                ks_rows = jnp.repeat(ks_rows, Hq // Hk, axis=1)
+            diag = diag * ks_rows
         else:
-            kfac = kn * k_scale[:, :, 0, :]
-        kn_max_in = jnp.max(kfac, axis=2)[:, :, None, None]   # [1,Hk,1,1]
-        if Hq != Hk:
-            kn_max_in = jnp.repeat(kn_max_in, Hq // Hk, axis=1)
-        qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
-                              axis=3, keepdims=True))         # [1,Hq,Tq_pad,1]
-        cap_row = q_scale * qn * kn_max_in * (1.0 + 1e-5)
-        # diagonal logit (same position, same segment => always visible)
-        k8_rep = jnp.repeat(k_i8, Hq // Hk, axis=1) if Hq != Hk else k_i8
-        diag = jnp.sum(q_i8.astype(jnp.float32) * k8_rep.astype(jnp.float32),
-                       axis=3, keepdims=True) * q_scale
-        if not fold_k:
-            ks_rep = (jnp.repeat(k_scale, Hq // Hk, axis=1)
-                      if Hq != Hk else k_scale)
-            diag = diag * jnp.swapaxes(ks_rep, 2, 3)          # per-row ks
+            kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)),
+                                  axis=3))
+            kn = jnp.where((jnp.arange(Tk_pad) < Tk)[None, None, :], kn, 0.0)
+            if fold_k:  # per-segment K scale folded into q_scale
+                kfac = kn
+            else:
+                kfac = kn * k_scale[:, :, 0, :]
+            kn_max_in = jnp.max(kfac, axis=2)[:, :, None, None]  # [1,Hk,1,1]
+            if Hq != Hk:
+                kn_max_in = jnp.repeat(kn_max_in, Hq // Hk, axis=1)
+            qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
+                                  axis=3, keepdims=True))     # [1,Hq,Tq_pad,1]
+            cap_row = q_scale * qn * kn_max_in * (1.0 + 1e-5)
+            # diagonal logit (same position/segment => always visible)
+            k8_rep = jnp.repeat(k_i8, Hq // Hk, axis=1) if Hq != Hk else k_i8
+            diag = jnp.sum(q_i8.astype(jnp.float32)
+                           * k8_rep[:, :, :Tq_pad].astype(jnp.float32),
+                           axis=3, keepdims=True) * q_scale
+            if not fold_k:
+                ks_rep = (jnp.repeat(k_scale, Hq // Hk, axis=1)
+                          if Hq != Hk else k_scale)
+                diag = diag * jnp.swapaxes(ks_rep, 2, 3)[:, :, :Tq_pad]
         slack = cap_row - diag
         real_q = (jnp.arange(Tq_pad) < Tq)[None, None, :, None]
         static_safe = jnp.all(jnp.where(real_q, slack, 0.0) <= 80.0)

@@ -174,3 +174,43 @@ class TestVarlenStaticSoftmax:
                      jnp.swapaxes(v[c:d][None], 1, 2))
             outs.append(jnp.swapaxes(o[0], 0, 1))
         assert calc_diff(out, jnp.concatenate(outs, 0)) < 1e-3
+
+
+class TestVarlenGuards:
+    """Loud failures for configurations that would silently corrupt masks
+    or safety bounds (r2 VERDICT weak #5, r2 ADVICE #1)."""
+
+    def test_traced_causal_mismatched_packings_raise(self):
+        # jitting with two DIFFERENT traced cu_seqlens arrays cannot be
+        # verified equal -> must raise instead of silently misaligning the
+        # causal mask
+        q, k, v, cu = packed([128, 128])
+        cu_k = jnp.array([0, 100, 256], jnp.int32)
+
+        @jax.jit
+        def f(q, k, v, cq, ck):
+            return sa.sageattn_varlen(q, k, v, cq, ck, is_causal=True)
+
+        with pytest.raises(ValueError, match="SAME array"):
+            f(q, k, v, cu, cu_k)
+
+    def test_traced_causal_same_array_ok(self):
+        # the same array object for both packings is provably matched even
+        # under tracing
+        q, k, v, cu = packed([100, 156])
+
+        @jax.jit
+        def f(q, k, v, cu):
+            return sa.sageattn_varlen(q, k, v, cu, cu, is_causal=True)
+
+        out = f(q, k, v, cu)
+        assert calc_diff(out, dense_loop_oracle(q, k, v, cu, True)) < 1e-3
+
+    def test_explicit_static_mismatched_packings_raise(self):
+        # explicit softmax_mode="static" with equal totals but different
+        # packings: the diagonal safety anchor is invalid -> loud error
+        # (ADVICE r2: previously approved an invalid bound)
+        q, k, v, cu = packed([100, 156], key=5)
+        cu_k = jnp.array([0, 128, 256], jnp.int32)
+        with pytest.raises(ValueError, match="matching q/k packings"):
+            sa.sageattn_varlen(q, k, v, cu, cu_k, softmax_mode="static")

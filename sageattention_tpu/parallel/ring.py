@@ -38,6 +38,7 @@ from jax import shard_map
 from ..dispatch import default_interpret, detect
 from ..ops import quant as quant_ops
 from ..ops.attention import AttnConfig, attention_call
+from ..utils.layout import round_up
 from .mesh import DP, SP, TP
 
 LOG2E = quant_ops.LOG2E
@@ -62,7 +63,7 @@ def _repeat_heads(x, G):
 def _ring_body(
     q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran, pv_dtype,
     compute_dtype, interpret, block_q, block_k, block_k_inner, return_lse,
-    softmax_mode,
+    softmax_mode, s_true=0,
 ):
     """Runs on each device inside shard_map.  q: [B, Hq, S_local, D],
     k/v: [B, Hk, S_local, D]; head_dim and seq already padded/aligned by
@@ -90,10 +91,28 @@ def _ring_body(
     idx = jax.lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     static_mode = softmax_mode == "static"
+    # r3 padding support: when the global sequence was padded up to n*S,
+    # only positions < s_true are real.  Statistics mask the pad rows; the
+    # kernel masks pad COLUMNS through a per-chunk dynamic kv-length
+    # (the chunk from source shard c has clip(s_true - c*S, 0, S) real
+    # rows — computable locally, nothing extra travels the ring).
+    padded = bool(s_true) and s_true != n * S
+    if padded:
+        rows = idx * S + jnp.arange(S)
+        valid = (rows < s_true)[None, None, :, None]             # [1,1,S,1]
 
-    # Global K mean over the ring (smooth_k with exact global mean).
-    km_local = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
-    km = jax.lax.pmean(km_local, axis_name)
+    # Global K mean over the ring (smooth_k with exact global mean; masked
+    # sum when padded so pad rows don't bias it).
+    if padded:
+        km = jax.lax.psum(
+            jnp.sum(k.astype(jnp.float32) * valid, axis=2, keepdims=True),
+            axis_name) * (1.0 / s_true)
+        # pad rows of K become the mean itself: k - km == 0 there, so the
+        # head amax, the quant codes, and the static capmax all see zeros
+        k = jnp.where(valid, k, km.astype(k.dtype))
+    else:
+        km_local = jnp.mean(k.astype(jnp.float32), axis=2, keepdims=True)
+        km = jax.lax.pmean(km_local, axis_name)
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
     fold_k = compute_dtype == "bf16" or static_mode
@@ -145,27 +164,69 @@ def _ring_body(
             kn_local = jnp.max(jnp.sqrt(jnp.sum(
                 jnp.square(k_i8.astype(jnp.float32)), axis=3)),
                 axis=2)[:, :, None, None]
-        if q_capmax is None:
-            q_capmax = jnp.max(q_scale * jnp.sqrt(jnp.sum(
-                jnp.square(q_i8.astype(jnp.float32)), axis=3, keepdims=True)),
-                axis=2, keepdims=True)                   # [B,Hq,1,1]
-        # global safety, decided once: worst q row x worst chunk factor
+        # worst chunk factor anywhere on the ring, decided once up front
         g_kfac = jax.lax.pmax(kn_local * k_head_scale, axis_name)
-        static_safe = jnp.all(
-            q_capmax * _repeat_heads(g_kfac, G) * (1.0 + 1e-5) <= 80.0)
+        if is_causal:
+            # ADVICE r2: under causal masking the visible row max can sit
+            # far below 0 (the smooth_k row-mean-zero argument covers ALL
+            # columns, not the visible prefix), so anchor the bound with
+            # the per-row DIAGONAL logit — the self logit is always visible
+            # and lives in this device's own chunk, where q and k rows are
+            # position-aligned.  slack_i = cap_i - diag_i <= 80 guarantees
+            # no globally-significant logit underflows in ANY chunk
+            # (cap_i bounds every chunk's logits via g_kfac).
+            q8f = q_i8.astype(jnp.float32)
+            qn_row = jnp.sqrt(jnp.sum(q8f * q8f, axis=3, keepdims=True))
+            cap_row = (q_scale * qn_row * _repeat_heads(g_kfac, G)
+                       * (1.0 + 1e-5))                   # [B,Hq,S,1]
+            diag = jnp.sum(q8f * _repeat_heads(k_i8, G).astype(jnp.float32),
+                           axis=3, keepdims=True)
+            diag = diag * q_scale * _repeat_heads(k_head_scale, G)
+            static_safe = jnp.all(cap_row - diag <= 80.0)
+        else:
+            if q_capmax is None:
+                q_capmax = jnp.max(q_scale * jnp.sqrt(jnp.sum(
+                    jnp.square(q_i8.astype(jnp.float32)), axis=3,
+                    keepdims=True)), axis=2, keepdims=True)  # [B,Hq,1,1]
+            # dense: global smooth_k row mean 0 => visible row max >= 0,
+            # so the absolute cap bound suffices
+            static_safe = jnp.all(
+                q_capmax * _repeat_heads(g_kfac, G) * (1.0 + 1e-5) <= 80.0)
 
     vm = None
     v_scale = None
+    if padded:
+        # per-chunk channel stats over REAL rows only (the local true count
+        # is dynamic, so the jnp masked form replaces the fused stats pass;
+        # quantized pad rows are garbage the kernel's dynamic kv mask hides)
+        n_real = jnp.clip(s_true - idx * S, 0, S).astype(jnp.float32)
+        vf = v.astype(jnp.float32)
+        vm_pad = (jnp.sum(vf * valid, axis=2, keepdims=True)
+                  / jnp.maximum(n_real, 1.0))
+        va_pad = jnp.max(jnp.abs(vf - vm_pad) * valid, axis=2, keepdims=True)
     if pv_dtype == "bf16":
         v_in = v.astype(jnp.bfloat16)
     elif pv_dtype == "int8":
-        if use_fused:
+        if padded:
+            vm, v_amax = vm_pad, va_pad
+            v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
+            if use_fused:
+                v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
+            else:
+                v_in = jnp.clip(jnp.rint((vf - vm) / v_scale),
+                                -127, 127).astype(jnp.int8)
+        elif use_fused:
             vm, v_amax = qp.channel_stats_pallas(v, S)
             v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
             v_in = qp.quant_int8_fixed_pallas(v, v_scale, sub=vm)
         else:
             v_in, vs, vm = quant_ops.per_channel_int8(v, "HND", smooth_v=True)
             v_scale = vs[:, :, None, :]
+    elif padded:
+        vm, v_amax = vm_pad, va_pad
+        v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 448.0), 1.0)
+        v_in = ((v.astype(jnp.float32) - vm) / v_scale
+                ).astype(jnp.float8_e4m3fn)
     else:
         v_in, vs, vm = quant_ops.per_channel_fp8(v, "HND", smooth_v=True)
         v_scale = vs[:, :, None, :]
@@ -180,6 +241,7 @@ def _ring_body(
             # keep P bf16 in the online fallback so both branches of the
             # safety cond share numerics (as core._sage_attention does)
             pv_via_bf16=(mode == "online" and static_mode),
+            kv_len_dynamic=padded,
             # bf16 partials: merged in fp32 below; halves per-step HBM writes.
             out_dtype=jnp.bfloat16,
         )
@@ -188,6 +250,10 @@ def _ring_body(
         o_acc, lse_acc = state
         src = (idx - step) % n
         offsets = jnp.stack([idx * S, src * S]).astype(jnp.int32)
+        # real-row count of the incoming chunk (derived locally from its
+        # source index; nothing extra rotates)
+        kv_true_c = (jnp.clip(s_true - src * S, 0, S).astype(jnp.int32)
+                     if padded else None)
         k_i8_c = kv_chunk["k"]
         v_c = kv_chunk["v"]
         if fold_k:
@@ -205,6 +271,7 @@ def _ring_body(
                 offsets=offsets if is_causal else None,
                 kn_max=(_repeat_heads(kv_chunk["knmax"], G)
                         if mode == "static" else None),
+                kv_true_dyn=kv_true_c,
                 cfg=_cfg(mode), interpret=interpret)
 
         if static_mode:
@@ -311,9 +378,22 @@ def ring_sageattn(
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
-    assert S % (n * 128) == 0, (
-        f"seq {S} must be a multiple of {n}*128 for ring attention")
-    S_local = S // n
+    # r3: ugly global lengths (CogVideoX 17776 over 8 devices) are padded
+    # up to n * S_local with S_local block-aligned; statistics mask the pad
+    # rows and the kernel masks pad columns via a dynamic per-chunk length
+    # (see _ring_body) — the parallel analogue of core._BLOCK_EFF padding.
+    S_true = S
+    S_local_min = -(-S // n)
+    gran = max(block_q, block_k)
+    if not gran:
+        from ..core import _pick_block
+        gran = _pick_block(2048, S_local_min)
+    S_local = round_up(S_local_min, gran)
+    S_pad = n * S_local
+    if S_pad != S:
+        pads = ((0, 0), (0, 0), (0, S_pad - S), (0, 0))
+        q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
+        S = S_pad
     if not block_q:
         # local shards are short; cap below the single-chip 4096 default so
         # the per-step grid still has >=2 q tiles to pipeline
@@ -339,16 +419,16 @@ def ring_sageattn(
         qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
         compute_dtype=compute_dtype, interpret=interpret,
         block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
-        return_lse=return_lse, softmax_mode=softmax_mode)
+        return_lse=return_lse, softmax_mode=softmax_mode,
+        s_true=S_true if S != S_true else 0)
 
     in_spec = P(None, None, axis_name, None)
     out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \
         if return_lse else P(None, None, axis_name, None)
     res = shard_map(body, mesh=mesh, in_specs=(in_spec,) * 3,
                     out_specs=out_spec, check_vma=False)(q, k, v)
-    if D_og != D:
-        if return_lse:
-            res = (res[0][..., :D_og], res[1])
-        else:
-            res = res[..., :D_og]
-    return res
+    if return_lse:
+        out, lse = res
+        out = out[:, :, :S_true, :D_og]
+        return out, lse[:, :, :S_true]
+    return res[:, :, :S_true, :D_og]

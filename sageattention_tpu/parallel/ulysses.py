@@ -24,7 +24,7 @@ from .mesh import SP
 
 
 def _ulysses_body(q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran,
-                  pv_dtype, interpret, n):
+                  pv_dtype, interpret, n, kv_true=0):
     """q/k/v local shards [B, H, S/n, D] (HND) -> output [B, Hq, S/n, D].
 
     GQA: when the KV heads don't divide by the ulysses degree, K/V are
@@ -66,7 +66,7 @@ def _ulysses_body(q, k, v, *, axis_name, is_causal, sm_scale, qk_quant_gran,
     out = core_api._route(
         qg, kg, vg, tensor_layout="HND", is_causal=is_causal,
         sm_scale=sm_scale, qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
-        interpret=interpret)
+        interpret=interpret, kv_true=kv_true)
     return gather_heads(out)
 
 
@@ -83,8 +83,12 @@ def ulysses_sageattn(
     """Sequence-parallel attention via head scatter / seq gather.
 
     Global HND arrays: q [B, Hq, S, D], k/v [B, Hk, S, D] with
-    Hq % Hk == 0 (GQA).  Requires Hq % axis_size == 0; KV heads either
-    divide by the degree (scattered) or are all-gathered and sliced.
+    Hq % Hk == 0 (GQA).  Awkward shapes are handled by padding (r3):
+    ``S`` is padded to a multiple of the degree (pad columns masked via
+    ``kv_true``, pad rows sliced off), and when Hq doesn't divide by the
+    degree, whole GQA GROUPS of zero heads are appended (Hk -> Hk', Hq ->
+    G*Hk') so the head->kv-head map of every real head is unchanged; the
+    dummy heads compute garbage that is sliced off after the gather.
     """
     B, H, S, D = q.shape
     Hk = k.shape[1]
@@ -95,13 +99,32 @@ def ulysses_sageattn(
     if interpret is None:
         interpret = default_interpret()
     n = mesh.shape[axis_name]
-    assert H % n == 0, f"q heads {H} must divide by ulysses degree {n}"
     assert H % Hk == 0, f"q heads {H} must be a multiple of kv heads {Hk}"
+    G = H // Hk
+    H_pad, Hk_pad = H, Hk
+    if H % n != 0:
+        # smallest Hk' >= Hk with (G * Hk') % n == 0: step by whole groups
+        import math
+        step = n // math.gcd(G, n)
+        Hk_pad = -(-Hk // step) * step
+        H_pad = G * Hk_pad
+        q = jnp.pad(q, ((0, 0), (0, H_pad - H), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, Hk_pad - Hk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Hk_pad - Hk), (0, 0), (0, 0)))
+    S_pad = -(-S // n) * n
+    if S_pad != S:
+        pads = ((0, 0), (0, 0), (0, S_pad - S), (0, 0))
+        q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
 
     body = functools.partial(
         _ulysses_body, axis_name=axis_name, is_causal=is_causal,
         sm_scale=sm_scale, qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
-        interpret=interpret, n=n)
+        interpret=interpret, n=n, kv_true=S if S_pad != S else 0)
     spec = P(None, None, axis_name, None)
-    return shard_map(body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
-                     check_vma=False)(q, k, v)
+    out = shard_map(body, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+                    check_vma=False)(q, k, v)
+    if H_pad != H:
+        out = out[:, :H]
+    if S_pad != S:
+        out = out[:, :, :S]
+    return out

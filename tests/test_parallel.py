@@ -159,3 +159,91 @@ class TestGQAParallel:
         q, k, v = qkv_gqa(Hq=4, Hk=1)
         out = ulysses_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="bf16")
         assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+
+class TestRingPadding:
+    """r3: ugly global sequence lengths pad inside ring_sageattn — pad
+    rows masked out of every statistic, pad columns masked by the kernel's
+    dynamic per-chunk length."""
+
+    @pytest.mark.parametrize("S", [1000, 900])
+    def test_unaligned_matches_oracle(self, mesh4, S):
+        def mk(shape, key):
+            return jax.random.normal(jax.random.PRNGKey(key), shape,
+                                     jnp.float32)
+        q = mk((1, 2, S, 64), 0)
+        k = mk((1, 2, S, 64), 1)
+        v = mk((1, 2, S, 64), 2)
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_unaligned_causal_int8(self, mesh4):
+        S = 1100
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (1, 2, S, 64),
+                                     jnp.float32) for i in range(3))
+        out = ring_sageattn(q, k, v, mesh4, is_causal=True, pv_dtype="int8")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1.5e-3
+
+    def test_unaligned_matches_single_device(self, mesh4):
+        S = 1000
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 7), (1, 2, S, 64),
+                                     jnp.float32) for i in range(3))
+        ring = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        single = sa.sageattn_qk_int8_pv_bf16(q, k, v)
+        assert calc_diff(ring, single) < 5e-4
+
+    def test_unaligned_lse(self, mesh4):
+        S = 1000
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 3), (1, 2, S, 64),
+                                     jnp.float32) for i in range(3))
+        out, lse = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16",
+                                 return_lse=True)
+        assert lse.shape == (1, 2, S)
+        assert bool(jnp.all(jnp.isfinite(lse)))
+
+    def test_mostly_padded_last_shard(self, mesh4):
+        # last shard ends up almost entirely padding
+        S = 769  # 4 shards of 256 -> last shard 1 real row
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 9), (1, 2, S, 64),
+                                     jnp.float32) for i in range(3))
+        out = ring_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+
+class TestUlyssesPadding:
+    def test_unaligned_seq(self, mesh4):
+        S = 1000
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 5), (1, 4, S, 64),
+                                     jnp.float32) for i in range(3))
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_heads_not_divisible(self, mesh4):
+        # 6 q heads on a 4-way axis: pads to 8, slices back
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 6),
+                                     (1, 6, 512, 64), jnp.float32)
+                   for i in range(3))
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_heads_gqa_not_divisible(self, mesh4):
+        # GQA 6q/3kv on a 4-way axis: pads by whole groups (G=2)
+        q = jax.random.normal(jax.random.PRNGKey(21), (1, 6, 512, 64))
+        k = jax.random.normal(jax.random.PRNGKey(22), (1, 3, 512, 64))
+        v = jax.random.normal(jax.random.PRNGKey(23), (1, 3, 512, 64))
+        out = ulysses_sageattn(q, k, v, mesh4, pv_dtype="bf16")
+        assert out.shape == q.shape
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
+    def test_causal_unaligned(self, mesh4):
+        S = 900
+        q, k, v = (jax.random.normal(jax.random.PRNGKey(i + 8), (1, 4, S, 64),
+                                     jnp.float32) for i in range(3))
+        out = ulysses_sageattn(q, k, v, mesh4, is_causal=True,
+                               pv_dtype="bf16")
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3

@@ -83,6 +83,50 @@ def main():
     q, k, v = mk(Hq=8, Hk=2, S=5000, key=3)
     row("GQA unaligned S5000", q, k, v)
 
+    # 3b. r3 widening: fp8-PV causal, per_warp granularity, NHD layout
+    q, k, v = mk(key=6)
+    row("pv fp8 causal", q, k, v, bar=5e-3, fn=sa.sageattn_qk_int8_pv_fp8,
+        is_causal=True)
+    row("per_warp granularity dense", q, k, v, qk_quant_gran="per_warp")
+    qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in mk(key=7))
+    out = jax.jit(functools.partial(sa.sageattn, tensor_layout="NHD"))(
+        qn, kn, vn)
+    d = float(calc_diff(out, jnp.swapaxes(
+        sdpa(jnp.swapaxes(qn, 1, 2), jnp.swapaxes(kn, 1, 2),
+             jnp.swapaxes(vn, 1, 2)), 1, 2)))
+    ok = d < 1e-3
+    if not ok:
+        FAILS.append("NHD layout")
+    print(f"{'NHD layout (zero-copy path) dense':<52} diff={d:.2e}  "
+          f"bar=1e-03  {'OK' if ok else 'FAIL'}", flush=True)
+    qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in mk(key=8))
+    out = jax.jit(functools.partial(sa.sageattn, tensor_layout="NHD",
+                                    is_causal=True))(qn, kn, vn)
+    d = float(calc_diff(out, jnp.swapaxes(
+        sdpa(jnp.swapaxes(qn, 1, 2), jnp.swapaxes(kn, 1, 2),
+             jnp.swapaxes(vn, 1, 2), is_causal=True), 1, 2)))
+    ok = d < 1e-3
+    if not ok:
+        FAILS.append("NHD causal")
+    print(f"{'NHD layout causal':<52} diff={d:.2e}  bar=1e-03  "
+          f"{'OK' if ok else 'FAIL'}", flush=True)
+
+    # 3c. 1-device ring (compiled shard_map path on the real chip)
+    from jax.sharding import Mesh
+    from sageattention_tpu.parallel import ring_sageattn
+    import numpy as np
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
+                 ("dp", "sp", "tp"))
+    q, k, v = mk(S=2048, key=9)
+    out = jax.jit(lambda a, b, c: ring_sageattn(
+        a, b, c, mesh1, pv_dtype="int8"))(q, k, v)
+    d = float(calc_diff(out, sdpa(q, k, v)))
+    ok = d < 1.5e-3
+    if not ok:
+        FAILS.append("ring-1dev")
+    print(f"{'ring attention (1-device mesh, compiled)':<52} diff={d:.2e}  "
+          f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
     # 4. bool mask (block-skip path)
     q, k, v = mk(key=4)
     keep = jax.random.bernoulli(jax.random.PRNGKey(9), 0.9,

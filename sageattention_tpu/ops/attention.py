@@ -186,13 +186,19 @@ def _round_e2m1_tile(p, pmax):
 
 
 def _attn_kernel(
-    # refs (built dynamically; see _make_inputs): [offsets?] q k v [qs ks] [vs]
-    # [q_seg kv_seg] out lse m_scr l_scr acc_scr
+    # refs (built dynamically; see attention_call): [minfo table]
+    # [offsets?] [kv_true?] q k v [qs ks] [vs] [q_seg kv_seg] [mask]
+    # out [lse] m_scr l_scr acc_scr [qbf_scr]
     *refs,
     cfg: AttnConfig,
     n_kv: int,
+    mask_heads: int = 0,
 ):
     it = iter(refs)
+    # bool masks ride scalar prefetch (the index maps need them too)
+    minfo_ref = next(it) if cfg.masked == "bool" else None
+    table_ref = next(it) if cfg.masked == "bool" else None
+    del table_ref  # consumed by the index maps only
     offs_ref = next(it) if (cfg.causal and cfg.causal_dynamic) else None
     kvt_ref = next(it) if cfg.kv_len_dynamic else None
     q_ref = next(it)
@@ -210,10 +216,6 @@ def _attn_kernel(
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
     mask_ref = next(it) if cfg.masked != "none" else None
-    # block-level mask summary (bool masks): 0 = fully masked block — skip
-    # all compute, the reference triton kernel's block-skip
-    # (`attn_qk_int8_per_block.py:33-39`); nonzero = live
-    minfo_ref = next(it) if cfg.masked == "bool" else None
     o_ref = next(it)
     lse_ref = next(it) if cfg.emit_lse else None
     m_scr = next(it)
@@ -273,7 +275,13 @@ def _attn_kernel(
         else:
             run = True
     if minfo_ref is not None:
-        run = jnp.logical_and(run, minfo_ref[0, 0, i, j] != 0)
+        # fully-masked block: skip all compute (the reference triton
+        # block-skip, `attn_qk_int8_per_block.py:33-39`); its DMA was
+        # already redirected to a resident block by the remap table
+        b_idx = pl.program_id(0)
+        h_idx = pl.program_id(1)
+        hm = 0 if mask_heads == 1 else h_idx
+        run = jnp.logical_and(run, minfo_ref[b_idx, hm, i, j] != 0)
 
     @pl.when(run)
     def _body():
@@ -459,41 +467,66 @@ def _attn_kernel(
             lse_ref[0, 0] = lse  # (BQ, 1)
 
 
-def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented):
-    """Build (in_specs skeleton is assembled by caller) block specs."""
+def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
+           Hm: int = 0):
+    """Build (in_specs skeleton is assembled by caller) block specs.
+
+    All index maps take ``*_`` so the same specs serve the plain grid and
+    the scalar-prefetch grid (bool masks: the liveness/remap tables arrive
+    as trailing ref args the non-kv maps ignore).
+    """
     BQ, BK = cfg.block_q, cfg.block_k
     G = Hq // Hk
+    prefetch = cfg.masked == "bool"
 
-    if cfg.causal and not cfg.causal_dynamic:
-        # static diagonal: clamp the kv block index so above-diagonal grid
-        # steps re-use the resident block (no DMA for skipped tiles)
-        def kv_idx(i, j):
-            return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
-    elif not cfg.causal and cfg.kv_len < Sk:
-        # clamp past-the-end blocks to the last live one (skipped steps
-        # re-use the resident block instead of fetching dead padding)
-        last_live = (cfg.kv_len - 1) // BK
+    if prefetch:
+        # the kv fetch index comes from the host-built remap table: dead
+        # blocks (fully-masked, above-diagonal, past-the-tail) point at the
+        # nearest live block so their DMA re-uses the resident buffer
+        def kv_idx(b, h, i, j, minfo, table):
+            return table[b, 0 if Hm == 1 else h, i, j]
 
-        def kv_idx(i, j):
-            return jnp.minimum(j, last_live)
+        def kv_im(b, h, i, j, minfo, table):
+            return (b, h // G, kv_idx(b, h, i, j, minfo, table), 0)
+
+        def ks_im(b, h, i, j, minfo, table):
+            return (b, h // G, 0, kv_idx(b, h, i, j, minfo, table))
     else:
-        def kv_idx(i, j):
-            return j
+        if cfg.causal and not cfg.causal_dynamic:
+            # static diagonal: clamp the kv block index so above-diagonal
+            # grid steps re-use the resident block (no DMA)
+            def _j(i, j):
+                return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
+        elif not cfg.causal and cfg.kv_len < Sk:
+            # clamp past-the-end blocks to the last live one
+            last_live = (cfg.kv_len - 1) // BK
 
-    q_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
-    k_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, kv_idx(i, j), 0))
-    v_spec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h // G, kv_idx(i, j), 0))
-    o_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0))
+            def _j(i, j):
+                return jnp.minimum(j, last_live)
+        else:
+            def _j(i, j):
+                return j
 
-    qs_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0))
-    ks_spec = pl.BlockSpec((1, 1, 1, BK),
-                           lambda b, h, i, j: (b, h // G, 0, kv_idx(i, j)))
-    vs_spec = pl.BlockSpec((1, 1, 1, D), lambda b, h, i, j: (b, h // G, 0, 0))
+        def kv_im(b, h, i, j, *_):
+            return (b, h // G, _j(i, j), 0)
+
+        def ks_im(b, h, i, j, *_):
+            return (b, h // G, 0, _j(i, j))
+
+    q_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j, *_: (b, h, i, 0))
+    k_spec = pl.BlockSpec((1, 1, BK, D), kv_im)
+    v_spec = pl.BlockSpec((1, 1, BK, D), kv_im)
+    o_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j, *_: (b, h, i, 0))
+
+    qs_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j, *_: (b, h, i, 0))
+    ks_spec = pl.BlockSpec((1, 1, 1, BK), ks_im)
+    vs_spec = pl.BlockSpec((1, 1, 1, D),
+                           lambda b, h, i, j, *_: (b, h // G, 0, 0))
     # lse carries a trailing singleton dim so the (BQ, 1) block satisfies TPU
     # tiling rules; squeezed before returning.
-    lse_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0))
-    qseg_spec = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, 0))
-    kseg_spec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j))
+    lse_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j, *_: (b, h, i, 0))
+    qseg_spec = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j, *_: (b, i, 0))
+    kseg_spec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j, *_: (b, 0, j))
     return q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec, qseg_spec, kseg_spec
 
 
@@ -546,11 +579,35 @@ def attention_call(
     n_q, n_kv = Sq // BQ, Sk // BK
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
 
+    Hm = attn_mask.shape[1] if cfg.masked != "none" else 0
     (q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec,
-     qseg_spec, kseg_spec) = _specs(cfg, B, Hq, Hk, Sq, Sk, D, with_vscale, cfg.segmented)
+     qseg_spec, kseg_spec) = _specs(cfg, B, Hq, Hk, Sq, Sk, D, with_vscale,
+                                    cfg.segmented, Hm)
 
     in_specs = []
     inputs = []
+    prefetch_inputs = []
+    if cfg.masked == "bool":
+        # block-liveness table + DMA remap table, delivered by scalar
+        # prefetch so the INDEX MAPS can see them: dead blocks (fully
+        # masked / above-diagonal / past-the-tail) re-use the resident
+        # K/V/mask buffers instead of fetching bytes the kernel will skip
+        # (measured r3: without this, a 25%-live block-sparse mask ran
+        # SLOWER than dense — DMA dominated).
+        m6 = attn_mask.reshape(B, Hm, n_q, BQ, n_kv, BK)
+        minfo = jnp.any(m6 != 0, axis=(3, 5)).astype(jnp.int32)
+        livej = jnp.where(minfo != 0, jnp.arange(n_kv), -1)
+        cummax = jax.lax.cummax(livej, axis=3)
+        first_live = jnp.argmax(minfo != 0, axis=3, keepdims=True)
+        table = jnp.where(cummax >= 0, cummax, first_live)
+        if cfg.causal and not cfg.causal_dynamic:
+            causal_last = (((jnp.arange(n_q) + 1) * BQ - 1) // BK
+                           )[None, None, :, None]
+            table = jnp.minimum(table, causal_last)
+        elif not cfg.causal and cfg.kv_len < Sk:
+            table = jnp.minimum(table, (cfg.kv_len - 1) // BK)
+        prefetch_inputs = [minfo.astype(jnp.int32),
+                           table.astype(jnp.int32)]
     if cfg.causal and cfg.causal_dynamic:
         assert offsets is not None, "causal_dynamic needs (q_start, kv_start)"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
@@ -576,28 +633,25 @@ def attention_call(
             inputs.append(v_mean.astype(jnp.float32))
         if cfg.softmax_mode == "static":
             in_specs.append(pl.BlockSpec((1, 1, 1, 1),
-                                         lambda b, h, i, j: (b, h, 0, 0)))
+                                         lambda b, h, i, j, *_: (b, h, 0, 0)))
             inputs.append(kn_max.astype(jnp.float32))
     if cfg.segmented:
         in_specs += [qseg_spec, kseg_spec]
         inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]
-    if cfg.masked != "none":
-        Hm = attn_mask.shape[1]  # 1 (broadcast over heads) or Hq
+    if cfg.masked == "bool":
+        # mask tiles follow the same remap table as K/V (dead blocks
+        # re-use the resident tile; the kernel never reads it)
         in_specs.append(pl.BlockSpec(
             (1, 1, BQ, BK),
-            lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, j)))
+            lambda b, h, i, j, minfo, table:
+                (b, 0 if Hm == 1 else h, i,
+                 table[b, 0 if Hm == 1 else h, i, j])))
         inputs.append(attn_mask)
-        if cfg.masked == "bool":
-            # block-level liveness summary -> dead blocks skip all compute
-            # (reference block-skip, `attn_qk_int8_per_block.py:33-39`);
-            # one (n_q, n_kv) int32 table per (b, h) rides in SMEM.
-            m6 = attn_mask.reshape(attn_mask.shape[0], Hm, n_q, BQ, n_kv, BK)
-            minfo = jnp.any(m6 != 0, axis=(3, 5)).astype(jnp.int32)
-            in_specs.append(pl.BlockSpec(
-                (1, 1, n_q, n_kv),
-                lambda b, h, i, j: (b, 0 if Hm == 1 else h, 0, 0),
-                memory_space=pltpu.SMEM))
-            inputs.append(minfo)
+    elif cfg.masked == "float":
+        in_specs.append(pl.BlockSpec(
+            (1, 1, BQ, BK),
+            lambda b, h, i, j, *_: (b, 0 if Hm == 1 else h, i, j)))
+        inputs.append(attn_mask)
 
     out_shape_o = jax.ShapeDtypeStruct((B, Hq, Sq, D), cfg.out_dtype)
     out_shapes = (out_shape_o,)
@@ -606,33 +660,52 @@ def attention_call(
         out_shapes += (jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),)
         out_specs += (lse_spec,)
 
-    kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv)
+    kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv,
+                               mask_heads=Hm)
     flops = 4 * B * Hq * Sq * Sk * D // (2 if cfg.causal else 1)
-
-    res = pl.pallas_call(
-        kernel,
-        grid=(B, Hq, n_q, n_kv),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((BQ, LANES), jnp.float32),
-            pltpu.VMEM((BQ, LANES), jnp.float32),
-            pltpu.VMEM((BQ, D), jnp.float32),
-        ] + ([pltpu.VMEM((BQ, D), jnp.bfloat16)]
-             if (cfg.quantized and cfg.compute_dtype == "bf16") else []),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-            # v5e has 128 MB VMEM; large tiles need more than the 16 MB
-            # default scoped allowance.
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=q.size + k.size + v.size + out_shape_o.size,
-            transcendentals=B * Hq * Sq * Sk,
-        ),
-        interpret=interpret,
-    )(*inputs)
+    scratch_shapes = [
+        pltpu.VMEM((BQ, LANES), jnp.float32),
+        pltpu.VMEM((BQ, LANES), jnp.float32),
+        pltpu.VMEM((BQ, D), jnp.float32),
+    ] + ([pltpu.VMEM((BQ, D), jnp.bfloat16)]
+         if (cfg.quantized and cfg.compute_dtype == "bf16") else [])
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        # v5e has 128 MB VMEM; large tiles need more than the 16 MB
+        # default scoped allowance.
+        vmem_limit_bytes=100 * 1024 * 1024,
+    )
+    cost = pl.CostEstimate(
+        flops=flops, bytes_accessed=q.size + k.size + v.size + out_shape_o.size,
+        transcendentals=B * Hq * Sq * Sk,
+    )
+    if prefetch_inputs:
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=len(prefetch_inputs),
+                grid=(B, Hq, n_q, n_kv),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch_shapes,
+            ),
+            out_shape=out_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*prefetch_inputs, *inputs)
+    else:
+        res = pl.pallas_call(
+            kernel,
+            grid=(B, Hq, n_q, n_kv),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shapes,
+            scratch_shapes=scratch_shapes,
+            compiler_params=compiler_params,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*inputs)
     if cfg.emit_lse:
         out, lse = res
         return out, lse[..., 0]

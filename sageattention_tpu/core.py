@@ -18,6 +18,7 @@ jit-friendly: flags are Python-level statics, everything else traces.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional
 
 import jax
@@ -148,13 +149,19 @@ def _sage_attention(
         interpret = dispatch.default_interpret()
     if use_fused is None:
         use_fused = not interpret
-    # NHD-direct (r3): the fused quant kernels read (B,S,H,D) blocks and
-    # write HND int8, and the attention kernel writes its output block NHD
-    # — no layout copy anywhere (the reference consumes both layouts via
-    # strides, `core.py:160-171`).  The fp8-PV V quant is a host jnp pass
-    # coded for HND, so that mode (numerics-parity only on v5e) and the
-    # interpret path keep the explicit transpose.
-    nhd_direct = (not layout.is_hnd) and use_fused and pv_dtype != "fp8"
+    # NHD-direct (r3): the fused quant kernels can read (B,S,H,D) blocks
+    # directly and hand back HND int8 (the reference consumes both layouts
+    # via strides, `core.py:160-171`).  MEASURED OFF by default on v5e:
+    # every Mosaic-legal direct design loses to the XLA transpose entry —
+    # per-head NHD blocks don't lower at all, an in-VMEM (bs,H,D) transpose
+    # costs minutes of compile and ~25% runtime, and whole-head 3D blocks
+    # execute at ~73 GB/s vs the 2D HND quant kernels' 550-830 GB/s
+    # (benchsuite/probe_nhd.py + docs/PERF_NOTES.md r3).  The code path is
+    # kept behind SAGE_NHD_DIRECT=1 for generations where 3D tiles are
+    # fast, and for the CPU-interpret tests that pin its correctness.
+    nhd_direct = ((not layout.is_hnd) and use_fused and pv_dtype != "fp8"
+                  and (os.environ.get("SAGE_NHD_DIRECT") == "1"
+                       or interpret))
     if not layout.is_hnd and not nhd_direct:
         q = jnp.swapaxes(q, 1, 2)
         k = jnp.swapaxes(k, 1, 2)

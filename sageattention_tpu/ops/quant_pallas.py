@@ -130,8 +130,13 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
             inv_row = (1.0 / scale_row3).reshape(block_s, 1)
             q2d = jnp.clip(jnp.rint(x * inv_row), -127, 127)
             out_ref[0, 0] = q2d.astype(jnp.int8)
-            # per-row scale output (segment runs don't align to groups)
-            sout_ref[0, 0] = scale_row3.reshape(block_s, 1)
+            # per-row scale output, LANE-REPLICATED (BLK, 128): a dense
+            # (BLK, 1) store forces the slow lane relayout (+1.5 ms/tensor
+            # at S=8192 — the original reason single-chip capmax replaced
+            # with_norm); the 128x-wide store is pure bandwidth and the
+            # consumer slices [..., :1] in XLA
+            sout_ref[0, 0] = jnp.broadcast_to(
+                scale_row3.reshape(block_s, 1), (block_s, 128))
         else:
             g_amax = jnp.max(a3, axis=1, keepdims=True)          # (n_g,1,1)
             scale3 = jnp.where(g_amax > 0, g_amax * (1.0 / 127.0), 1.0)
@@ -141,12 +146,16 @@ def _quant_kernel(*refs, mode: str, group: int, fold: float, has_sub: bool,
             out_ref[0, 0] = q2d.astype(jnp.int8)
             sout_ref[0, 0] = scale3[:, 0]
         if with_norm:
-            norm_ref[0, 0] = jnp.sum(q2d * q2d, axis=1, keepdims=True)
+            n2 = jnp.sum(q2d * q2d, axis=1, keepdims=True)
+            norm_ref[0, 0] = (jnp.broadcast_to(n2, (block_s, 128))
+                              if segmented else n2)
         if with_dot:
             # row dot with a same-shaped int8 operand (diag logits for the
             # static-softmax lower bound), fused into this read pass
             w = dotw_ref[0, 0].astype(jnp.float32)
-            dot_ref[0, 0] = jnp.sum(q2d * w, axis=1, keepdims=True)
+            dd = jnp.sum(q2d * w, axis=1, keepdims=True)
+            dot_ref[0, 0] = (jnp.broadcast_to(dd, (block_s, 128))
+                             if segmented else dd)
         if capmax:
             if segmented:
                 scale_row = scale_row3.reshape(block_s, 1)
@@ -200,24 +209,26 @@ def _call(x, sub, scale_in, mode, group, fold, block_s, with_norm, interpret,
 
     out_specs = [pl.BlockSpec((1, 1, block_s, D), lambda b, h, i: (b, h, i, 0))]
     out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
+    seg_w = 128 if segmented else 1  # lane-replicated stores (see kernel)
     if mode == "group":
         if segmented:  # per-ROW scales (runs don't align to groups)
-            out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+            out_specs.append(pl.BlockSpec((1, 1, block_s, seg_w),
                                           lambda b, h, i: (b, h, i, 0)))
-            out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, H, S, seg_w), jnp.float32))
         else:
             out_specs.append(pl.BlockSpec((1, 1, n_g, 1),
                                           lambda b, h, i: (b, h, i, 0)))
             out_shapes.append(
                 jax.ShapeDtypeStruct((B, H, S // group, 1), jnp.float32))
     if with_norm:
-        out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+        out_specs.append(pl.BlockSpec((1, 1, block_s, seg_w),
                                       lambda b, h, i: (b, h, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, seg_w), jnp.float32))
     if dot_with is not None:
-        out_specs.append(pl.BlockSpec((1, 1, block_s, 1),
+        out_specs.append(pl.BlockSpec((1, 1, block_s, seg_w),
                                       lambda b, h, i: (b, h, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, seg_w), jnp.float32))
     if with_capmax:
         out_specs.append(pl.BlockSpec((1, 1, 8, 128),
                                       lambda b, h, i: (b, h, i, 0)))
@@ -378,12 +389,17 @@ def quant_int8_segmented_pallas(x, segment_ids, group: int, fold: float = 1.0,
 
     ``x``: [B,H,S,D] HND; ``segment_ids``: [B,S] (or [B,S,1]) int32.
     Returns (int8, per-ROW scales [B,H,S,1][, row sq-norms][, row dots]
-    [, capmax [B,H,1,1]])."""
+    [, capmax [B,H,1,1]]).  Per-row outputs are stored lane-replicated
+    in-kernel (a (S,1) store pays a lane relayout) and sliced here."""
     bs = _block_s_for(x.shape[2], group)
     assert bs, (x.shape, group)
-    return _call(x, sub, None, "group", group, fold, bs, with_norm,
-                 interpret, dot_with=dot_with, with_capmax=with_capmax,
-                 s_true=s_true, segment_ids=segment_ids)
+    res = list(_call(x, sub, None, "group", group, fold, bs, with_norm,
+                     interpret, dot_with=dot_with, with_capmax=with_capmax,
+                     s_true=s_true, segment_ids=segment_ids))
+    n_wide = 1 + int(with_norm) + int(dot_with is not None)
+    for i in range(1, 1 + n_wide):
+        res[i] = res[i][..., :1]
+    return tuple(res)
 
 
 def quant_int8_fixed_pallas(x, scale, fold: float = 1.0, sub=None,
@@ -465,13 +481,16 @@ def _quant_kernel_nhd(*refs, mode, group, fold, has_sub, block_s, capmax,
         srow = jnp.broadcast_to(scale4, (n_g, group, H, 1)
                                 ).reshape(block_s, H, 1)
         q = jnp.clip(jnp.rint(x * (1.0 / srow)), -127, 127)
-        sout_ref[0] = jnp.swapaxes(srow, 0, 1)          # (H, bs, 1)
+        sout_ref[0] = srow                              # (bs, H, 1) NHD
         scale_for_cap = srow[:, :, 0]                   # (bs, H)
     else:  # scalar [B,H,1,1] / channel [B,H,1,D] precomputed scales
         sin = sin_ref[0, :, 0].astype(jnp.float32)[None]     # (1, H, 1|D)
         q = jnp.clip(jnp.rint(x * (1.0 / sin)), -127, 127)
         scale_for_cap = None  # scalar mode: scale folded downstream
-    out_ref[0] = jnp.swapaxes(q, 0, 1).astype(jnp.int8)      # (H, bs, D)
+    # int8 written back in NHD; the (cheap, int8-sized) HND transpose runs
+    # in XLA outside the kernel — an in-VMEM (bs,H,D) swapaxes costs
+    # minutes of Mosaic compile and ~25% runtime at H=32 (measured)
+    out_ref[0] = q.astype(jnp.int8)                     # (bs, H, D)
 
     if capmax:
         n2 = jnp.sum(q * q, axis=2)                     # (bs, H)
@@ -508,12 +527,12 @@ def _call_nhd(x, sub, scale_in, mode, group, fold, with_capmax, s_true,
         in_specs.append(pl.BlockSpec((1, H, 1, D), lambda b, i: (b, 0, 0, 0)))
         inputs.append(scale_in)
 
-    out_specs = [pl.BlockSpec((1, H, bs, D), lambda b, i: (b, 0, i, 0))]
-    out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)]
+    out_specs = [pl.BlockSpec((1, bs, H, D), lambda b, i: (b, i, 0, 0))]
+    out_shapes = [jax.ShapeDtypeStruct((B, S, H, D), jnp.int8)]
     if mode == "group":
-        out_specs.append(pl.BlockSpec((1, H, bs, 1),
-                                      lambda b, i: (b, 0, i, 0)))
-        out_shapes.append(jax.ShapeDtypeStruct((B, H, S, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bs, H, 1),
+                                      lambda b, i: (b, i, 0, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, S, H, 1), jnp.float32))
     if with_capmax:
         # per-grid-step slot tiles (8, H) with heads in lanes; the tiny
         # cross-step max + axis shuffle happens in XLA below
@@ -535,11 +554,15 @@ def _call_nhd(x, sub, scale_in, mode, group, fold, with_capmax, s_true,
         ),
         interpret=interpret,
     )(*inputs)
+    res = list(res) if isinstance(res, (tuple, list)) else [res]
+    # NHD -> HND on the int8/scale outputs (XLA transpose; int8 halves the
+    # bytes a bf16 input transpose would have moved)
+    res[0] = jnp.swapaxes(res[0], 1, 2)
+    if mode == "group":
+        res[1] = jnp.swapaxes(res[1], 1, 2)
     if with_capmax:
-        res = list(res)
         res[-1] = jnp.max(res[-1], axis=1)[:, :, None, None]  # [B,H,1,1]
-        res = tuple(res)
-    return res
+    return tuple(res) if len(res) > 1 else res[0]
 
 
 def _stats_kernel_nhd(x_ref, mean_ref, amax_ref, sum_scr, max_scr, min_scr,

@@ -201,8 +201,10 @@ def sageattn_varlen(
     # logits), which previously ran as separate jnp passes and ate the
     # static win at small packs (r2 VERDICT weak #3).
     qn2 = diag_dot = kn_max_raw = None
+    import os as _os
+    fuse_stats = _os.environ.get("SAGE_VARLEN_FUSED_STATS", "1") == "1"
     if use_fused and not fold_k:
-        if want_static:
+        if want_static and fuse_stats:
             k_i8, ks_row4, kn_max_raw = qp.quant_int8_segmented_pallas(
                 kb, kv_seg, k_group, sub=km, with_capmax=True, s_true=Tk,
                 interpret=interpret)

@@ -173,3 +173,59 @@ class TestNhdInput:
                                            interpret=True)
         np.testing.assert_allclose(np.asarray(m_n), np.asarray(m_h))
         np.testing.assert_allclose(np.asarray(a_n), np.asarray(a_h))
+
+
+class TestSegmentedQuant:
+    """Segment-aware fused quant (varlen prep, r3): scales confined to
+    (group ∩ segment) via the in-kernel run-max."""
+
+    def _ref(self, x, seg, group, fold=1.0, sub=None):
+        return quant.quant_int8_groupwise_segmented(x, seg, group,
+                                                    fold=fold, sub=sub)
+
+    def test_matches_jnp_segmented(self):
+        x = rand((1, 2, 512, 64), key=21)
+        seg = jnp.array(([0] * 100 + [1] * 300 + [2] * 112), jnp.int32)
+        out, srow = qp.quant_int8_segmented_pallas(x, seg, 32,
+                                                   interpret=True)
+        out_j, srow_j = self._ref(x, seg, 32)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_j))
+        np.testing.assert_allclose(np.asarray(srow[..., 0]),
+                                   np.asarray(srow_j), rtol=1e-6)
+
+    def test_norm_dot_capmax(self):
+        x = rand((1, 2, 512, 64), key=22)
+        w8 = (rand((1, 2, 512, 64), key=23) * 30).astype(jnp.int8)
+        seg = jnp.array([0] * 200 + [1] * 312, jnp.int32)
+        out, srow, n2, dot, cap = qp.quant_int8_segmented_pallas(
+            x, seg, 32, fold=0.4, with_norm=True, dot_with=w8,
+            with_capmax=True, s_true=512, interpret=True)
+        of = out.astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(n2[..., 0]),
+            np.asarray(jnp.sum(of * of, axis=3)), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(dot[..., 0]),
+            np.asarray(jnp.sum(of * w8.astype(jnp.float32), axis=3)),
+            rtol=1e-6)
+        norms = jnp.sqrt(jnp.sum(of * of, axis=3, keepdims=True))
+        ref_cap = jnp.max(srow * norms, axis=2, keepdims=True)
+        np.testing.assert_allclose(np.asarray(cap), np.asarray(ref_cap),
+                                   rtol=1e-6)
+
+    def test_outlier_isolated_between_segments(self):
+        x = rand((1, 1, 256, 64), key=24)
+        x = x.at[:, :, 100:].mul(100.0)  # outlier segment
+        seg = jnp.array([0] * 100 + [1] * 156, jnp.int32)
+        out, srow = qp.quant_int8_segmented_pallas(x, seg, 128,
+                                                   interpret=True)
+        # segment-0 rows inside the straddling group 0..127 must use
+        # segment-0-only scales: max|x| over rows 0..99 / 127
+        seg0_amax = float(jnp.max(jnp.abs(x[:, :, :100])))
+        np.testing.assert_allclose(np.asarray(srow[0, 0, :100, 0]),
+                                   seg0_amax / 127.0, rtol=1e-6)
+        # and the jnp segmented quantizer agrees everywhere
+        out_j, srow_j = self._ref(x, seg, 128)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out_j))
+        np.testing.assert_allclose(np.asarray(srow[..., 0]),
+                                   np.asarray(srow_j), rtol=1e-6)

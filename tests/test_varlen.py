@@ -214,3 +214,42 @@ class TestVarlenGuards:
         cu_k = jnp.array([0, 128, 256], jnp.int32)
         with pytest.raises(ValueError, match="matching q/k packings"):
             sa.sageattn_varlen(q, k, v, cu, cu_k, softmax_mode="static")
+
+
+class TestVarlenFusedPrep:
+    """The fused (Pallas) varlen prep must agree with the jnp prep — same
+    interpret backend, only the quant/prep implementation differs."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_fused_matches_jnp_prep(self, causal):
+        q, k, v = packed([100, 156], key=12)[:3]
+        cu = jnp.array([0, 100, 256], jnp.int32)
+        a = sa.sageattn_varlen(q, k, v, cu, cu, is_causal=causal,
+                               pv_dtype="int8", compute_dtype="native",
+                               use_fused=True)
+        b = sa.sageattn_varlen(q, k, v, cu, cu, is_causal=causal,
+                               pv_dtype="int8", compute_dtype="native",
+                               use_fused=False)
+        assert calc_diff(a, b) < 2e-4
+        assert calc_diff(a, dense_loop_oracle(q, k, v, cu, causal)) < 1.5e-3
+
+    def test_fused_static_safety_stats(self):
+        # static mode with the fused safety stats must match online
+        q, k, v = packed([100, 156], key=13)[:3]
+        cu = jnp.array([0, 100, 256], jnp.int32)
+        st = sa.sageattn_varlen(q, k, v, cu, cu, softmax_mode="static",
+                                pv_dtype="int8", compute_dtype="native",
+                                use_fused=True)
+        on = sa.sageattn_varlen(q, k, v, cu, cu, softmax_mode="online",
+                                pv_dtype="int8", compute_dtype="native",
+                                use_fused=True)
+        assert calc_diff(st, on) < 2e-5
+
+    def test_fused_unsafe_falls_back(self):
+        q, k, v = packed([100, 156], key=14)[:3]
+        q, k = q * 50.0, k * 50.0
+        cu = jnp.array([0, 100, 256], jnp.int32)
+        out = sa.sageattn_varlen(q, k, v, cu, cu, softmax_mode="static",
+                                 pv_dtype="int8", compute_dtype="native",
+                                 use_fused=True)
+        assert bool(jnp.all(jnp.isfinite(out)))

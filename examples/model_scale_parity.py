@@ -65,24 +65,39 @@ CASES = [
 
 
 def main():
+    import functools
+    from sageattention_tpu.utils.testing import time_fn
     print("platform:", jax.devices()[0].platform)
     ok = True
+    rows = []
     for name, cfg in CASES:
         causal = cfg.pop("causal", False)
         q, k, v = realistic_qkv(**cfg, key=zlib.crc32(name.encode()) % 1000)
-        t0 = time.perf_counter()
         out = sa.sageattn(q, k, v, is_causal=causal)
-        out.block_until_ready()
-        import numpy as np
-        np.asarray(jnp.sum(out.ravel()[:1]))  # tunnel sync
-        dt = time.perf_counter() - t0
         ref = flash(q, k, v, is_causal=causal)
         d = calc_diff(out, ref)
         cos = 1.0 - d
+        # compiled steady-state wall clocks, interleaved A/B (the
+        # reference's e2e table analogue, `/root/reference/README.md:48-53`)
+        f_sage = jax.jit(functools.partial(sa.sageattn, is_causal=causal))
+        f_flash = jax.jit(functools.partial(flash, is_causal=causal))
+        t_f = time_fn(f_flash, q, k, v, reps=6)
+        t_s = time_fn(f_sage, q, k, v, reps=6)
         status = "OK " if cos >= 0.999 else "FAIL"
         ok &= cos >= 0.999
         print(f"{status} {name:32s} {str(tuple(q.shape)):24s} causal={causal} "
-              f"cossim={cos:.6f} (first-call {dt:.1f}s incl compile)", flush=True)
+              f"cossim={cos:.6f} flash {t_f*1e3:.1f} ms -> sage "
+              f"{t_s*1e3:.1f} ms ({t_f/t_s:.2f}x)", flush=True)
+        rows.append((name, tuple(q.shape), causal, cos, t_f * 1e3, t_s * 1e3,
+                     t_f / t_s))
+    print("\nREADME table (markdown):", flush=True)
+    print("| model shape | (B, H, S, D) | causal | flash ms | sage ms | "
+          "speedup | cossim |")
+    print("|---|---|---|---|---|---|---|")
+    for name, shape, causal, cos, tf_, ts_, sp in rows:
+        print(f"| {name} | {shape} | {causal} | {tf_:.1f} | {ts_:.1f} | "
+              f"{sp:.2f}x | {cos:.5f} |")
+    print("", flush=True)
 
     # full DiT block at CogVideoX scale: hidden 3072, 48 heads, joint seq
     from sageattention_tpu.models import DiTConfig, make_dit, example_inputs

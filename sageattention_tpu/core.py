@@ -280,11 +280,22 @@ def _sage_attention(
     q = pad_axis(q, seq_ax, Sq_pad)
     k = pad_axis(k, seq_ax, Sk_pad)
     v = pad_axis(v, seq_ax, Sk_pad)
+    # Merged K+V prep (r3): the flagship combination (smooth_k + smooth_v +
+    # int8 V + head K scales) runs its stats and its quant as ONE launch
+    # each instead of two — kernel-boundary ramp is most of the measured
+    # e2e prep overhead beyond the HBM floor (probe_prep.py).
+    merged_kv = (use_fused and not nhd_direct and smooth_k and smooth_v
+                 and pv_dtype == "int8" and k_scale_mode == "head")
+    vm_m = v_amax_m = v_in_m = k_capmax_m = None
     if use_fused:
         kv_valid = jnp.expand_dims(
             (jnp.arange(Sk_pad) < Sk_true)[None],
             (1, 3) if seq_ax == 2 else (2, 3))
-        if smooth_k:
+        if merged_kv:
+            km, k_amax_ch, vm_m, v_amax_m = qp.channel_stats2_pallas(
+                k, v, Sk_true, interpret=interpret)
+            vf_stats = (vm_m, v_amax_m)
+        elif smooth_k:
             km, k_amax_ch = qp.channel_stats_pallas(
                 k, Sk_true, in_layout=in_layout, interpret=interpret)
         elif k_scale_mode == "head":
@@ -295,7 +306,7 @@ def _sage_attention(
         if k_scale_mode == "head":
             amax = jnp.max(k_amax_ch, axis=3, keepdims=True)
             ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
-        if pv_dtype in ("int8", "fp8"):
+        if pv_dtype in ("int8", "fp8") and not merged_kv:
             if smooth_v:
                 vf_stats = qp.channel_stats_pallas(
                     v, Sk_true, in_layout=in_layout, interpret=interpret)
@@ -315,7 +326,18 @@ def _sage_attention(
     q_capmax = k_capmax = None  # [B,H,1,1]: max over rows of scale*||x8||
     fold = sm_scale * LOG2E
     if use_fused:
-        if k_scale_mode == "head":
+        if merged_kv:
+            v_scale_m = jnp.where(v_amax_m > 0, v_amax_m * (1.0 / 127.0),
+                                  1.0)
+            if want_cap:
+                k_i8, v_in_m, k_capmax = qp.quant_kv_pallas(
+                    k, ks_sc, km, v, v_scale_m, vm_m, with_capmax=True,
+                    s_true=Sk_true, interpret=interpret)
+            else:
+                k_i8, v_in_m = qp.quant_kv_pallas(
+                    k, ks_sc, km, v, v_scale_m, vm_m, interpret=interpret)
+            k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
+        elif k_scale_mode == "head":
             if want_cap:
                 k_i8, k_capmax = qp.quant_int8_fixed_pallas(
                     k, ks_sc, sub=km, with_capmax=True, s_true=Sk_true,
@@ -379,7 +401,9 @@ def _sage_attention(
     elif pv_dtype == "int8":
         vm, v_amax = vf_stats
         v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 127.0), 1.0)
-        if use_fused:
+        if merged_kv:
+            v_in = v_in_m   # quantized in the merged KV launch
+        elif use_fused:
             v_in = qp.quant_int8_fixed_pallas(
                 v, v_scale, sub=vm, in_layout=in_layout, interpret=interpret)
         else:

@@ -623,3 +623,142 @@ def _channel_stats_nhd(x, s_true, interpret):
         ),
         interpret=interpret,
     )(x)
+
+
+# ---------------------------------------------------------------------------
+# Merged K+V prep kernels (r3): the e2e gap at S~8K is mostly kernel-boundary
+# ramp — five prep launches (K stats, V stats, Q quant, K quant, V quant)
+# each pay dispatch + pipeline warm-up.  K and V share shapes and grids, so
+# their stats and their quant passes merge pairwise: 5 launches -> 3.
+# ---------------------------------------------------------------------------
+
+
+def _stats2_kernel(k_ref, v_ref, km_ref, ka_ref, vm_ref, va_ref,
+                   ks_scr, kmax_scr, kmin_scr, vs_scr, vmax_scr, vmin_scr,
+                   *, n_blocks, block_s, s_true):
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _():
+        for scr in (ks_scr, vs_scr):
+            scr[...] = jnp.zeros_like(scr)
+        for scr in (kmax_scr, vmax_scr):
+            scr[...] = jnp.full_like(scr, -3e38)
+        for scr in (kmin_scr, vmin_scr):
+            scr[...] = jnp.full_like(scr, 3e38)
+
+    def acc(x_ref, s_scr, mx_scr, mn_scr):
+        x = x_ref[0, 0].astype(jnp.float32)
+        if s_true % block_s:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+                    + i * block_s)
+            valid = rows < s_true
+            xs = jnp.where(valid, x, 0.0)
+            xmax = jnp.where(valid, x, -3e38)
+            xmin = jnp.where(valid, x, 3e38)
+        else:
+            xs = xmax = xmin = x
+        s_scr[...] += jnp.sum(xs, axis=0, keepdims=True)
+        mx_scr[...] = jnp.maximum(mx_scr[...],
+                                  jnp.max(xmax, axis=0, keepdims=True))
+        mn_scr[...] = jnp.minimum(mn_scr[...],
+                                  jnp.min(xmin, axis=0, keepdims=True))
+
+    acc(k_ref, ks_scr, kmax_scr, kmin_scr)
+    acc(v_ref, vs_scr, vmax_scr, vmin_scr)
+
+    @pl.when(i == n_blocks - 1)
+    def _():
+        km = ks_scr[...] * (1.0 / s_true)
+        km_ref[0, 0] = km
+        ka_ref[0, 0] = jnp.maximum(kmax_scr[...] - km, km - kmin_scr[...])
+        vm = vs_scr[...] * (1.0 / s_true)
+        vm_ref[0, 0] = vm
+        va_ref[0, 0] = jnp.maximum(vmax_scr[...] - vm, vm - vmin_scr[...])
+
+
+def channel_stats2_pallas(k, v, s_true: int, interpret: bool = False):
+    """Fused per-channel stats for K and V in ONE launch:
+    [B,H,S,D] x2 -> (km, k_amax, vm, v_amax), each [B,H,1,D]."""
+    B, H, S, D = k.shape
+    bs = _block_s_for(S, 1)
+    assert bs, k.shape
+    n_blocks = S // bs
+    io_spec = pl.BlockSpec((1, 1, bs, D), lambda b, h, i: (b, h, i, 0))
+    stat_spec = pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0))
+    stat_shape = jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_stats2_kernel, n_blocks=n_blocks, block_s=bs,
+                          s_true=s_true),
+        grid=(B, H, n_blocks),
+        in_specs=[io_spec, io_spec],
+        out_specs=(stat_spec,) * 4,
+        out_shape=(stat_shape,) * 4,
+        scratch_shapes=[pltpu.VMEM((1, D), jnp.float32) for _ in range(6)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(k, v)
+
+
+def _quant_kv_kernel(k_ref, ks_ref, km_ref, v_ref, vs_ref, vm_ref,
+                     k8_ref, v8_ref, cap_ref, *, block_s, n_blocks, s_true,
+                     capmax):
+    i = pl.program_id(2)
+    kf = k_ref[0, 0].astype(jnp.float32) - km_ref[0, 0].astype(jnp.float32)
+    k8 = jnp.clip(jnp.rint(kf * (1.0 / ks_ref[0, 0])), -127, 127)
+    k8_ref[0, 0] = k8.astype(jnp.int8)
+    vf = v_ref[0, 0].astype(jnp.float32) - vm_ref[0, 0].astype(jnp.float32)
+    v8_ref[0, 0] = jnp.clip(jnp.rint(vf * (1.0 / vs_ref[0, 0])),
+                            -127, 127).astype(jnp.int8)
+    if capmax:
+        n2 = jnp.sum(k8 * k8, axis=1, keepdims=True)
+        capv = jnp.sqrt(n2)
+        if s_true and s_true < n_blocks * block_s:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, capv.shape, 0)
+                    + i * block_s)
+            capv = jnp.where(rows < s_true, capv, 0.0)
+        cap_ref[0, 0] = jnp.broadcast_to(jnp.max(capv), (8, 128))
+
+
+def quant_kv_pallas(k, k_scale, km, v, v_scale, vm, with_capmax=False,
+                    s_true: int = 0, interpret: bool = False):
+    """Fused K (per-head scalar scale + mean sub + capmax) and V
+    (per-channel scale + mean sub) quantization in ONE launch.
+    ``k_scale`` [B,H,1,1]; ``v_scale``/``km``/``vm`` [B,H,1,D].
+    Returns (k_i8, v_i8[, k_capmax [B,H,1,1]])."""
+    B, H, S, D = k.shape
+    bs = _block_s_for(S, 1)
+    assert bs, k.shape
+    n_blocks = S // bs
+    io_spec = pl.BlockSpec((1, 1, bs, D), lambda b, h, i: (b, h, i, 0))
+    chan_spec = pl.BlockSpec((1, 1, 1, D), lambda b, h, i: (b, h, 0, 0))
+    head_spec = pl.BlockSpec((1, 1, 1, 1), lambda b, h, i: (b, h, 0, 0))
+    out_specs = [io_spec, io_spec]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8)] * 2
+    if with_capmax:
+        out_specs.append(pl.BlockSpec((1, 1, 8, 128),
+                                      lambda b, h, i: (b, h, i, 0)))
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, n_blocks * 8, 128),
+                                               jnp.float32))
+    res = pl.pallas_call(
+        functools.partial(_quant_kv_kernel, block_s=bs, n_blocks=n_blocks,
+                          s_true=s_true, capmax=with_capmax),
+        grid=(B, H, n_blocks),
+        in_specs=[io_spec, head_spec, chan_spec, io_spec, chan_spec,
+                  chan_spec],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(k, k_scale.astype(jnp.float32), km.astype(jnp.float32),
+      v, v_scale.astype(jnp.float32), vm.astype(jnp.float32))
+    if with_capmax:
+        k8, v8, cap = res
+        return k8, v8, jnp.max(cap, axis=(2, 3), keepdims=True)
+    return res

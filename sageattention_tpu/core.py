@@ -286,12 +286,30 @@ def _sage_attention(
     # e2e prep overhead beyond the HBM floor (probe_prep.py).
     merged_kv = (use_fused and not nhd_direct and smooth_k and smooth_v
                  and pv_dtype == "int8" and k_scale_mode == "head")
-    vm_m = v_amax_m = v_in_m = k_capmax_m = None
+    # One-pass prep (r3): when the whole (S, D) head-slice fits in VMEM,
+    # stats + scale + quant collapse into a single read per tensor — K and
+    # V are otherwise each read twice (stats pass + quant pass), ~536 MB of
+    # avoidable HBM traffic at S=8192 B4 H32 hd128.
+    onepass_kv = merged_kv and Sk_pad * D <= qp.ONEPASS_MAX_ELS
+    want_cap = use_fused and softmax_mode == "static"
+    q_capmax = k_capmax = None  # [B,H,1,1]: max over rows of scale*||x8||
+    vm_m = v_amax_m = v_in_m = k_i8_1p = None
     if use_fused:
         kv_valid = jnp.expand_dims(
             (jnp.arange(Sk_pad) < Sk_true)[None],
             (1, 3) if seq_ax == 2 else (2, 3))
-        if merged_kv:
+        if onepass_kv:
+            res = qp.prep_k_onepass_pallas(k, Sk_true, with_capmax=want_cap,
+                                           interpret=interpret)
+            k_i8_1p, km, k_head_amax = res[:3]
+            if want_cap:
+                k_capmax = res[3]
+            ks_sc = jnp.where(k_head_amax > 0,
+                              k_head_amax * (1.0 / 127.0), 1.0)
+            v_in_m, vm_m, v_amax_m = qp.prep_v_onepass_pallas(
+                v, Sk_true, interpret=interpret)
+            vf_stats = (vm_m, v_amax_m)
+        elif merged_kv:
             km, k_amax_ch, vm_m, v_amax_m = qp.channel_stats2_pallas(
                 k, v, Sk_true, interpret=interpret)
             vf_stats = (vm_m, v_amax_m)
@@ -303,7 +321,7 @@ def _sage_attention(
             a = jnp.max(jnp.abs(k.astype(jnp.float32)) * kv_valid,
                         axis=seq_ax, keepdims=True)
             k_amax_ch = jnp.swapaxes(a, 1, 2) if nhd_direct else a
-        if k_scale_mode == "head":
+        if k_scale_mode == "head" and not onepass_kv:
             amax = jnp.max(k_amax_ch, axis=3, keepdims=True)
             ks_sc = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)
         if pv_dtype in ("int8", "fp8") and not merged_kv:
@@ -322,11 +340,12 @@ def _sage_attention(
     if k_scale_mode == "head":
         k_group = Sk_pad  # one scale per (batch, head)
 
-    want_cap = use_fused and softmax_mode == "static"
-    q_capmax = k_capmax = None  # [B,H,1,1]: max over rows of scale*||x8||
     fold = sm_scale * LOG2E
     if use_fused:
-        if merged_kv:
+        if onepass_kv:
+            k_i8 = k_i8_1p   # quantized (with capmax) in the one-pass prep
+            k_s = ks_sc[:, :, :, 0]  # [B, Hk, 1]
+        elif merged_kv:
             v_scale_m = jnp.where(v_amax_m > 0, v_amax_m * (1.0 / 127.0),
                                   1.0)
             if want_cap:

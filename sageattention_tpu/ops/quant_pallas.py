@@ -762,3 +762,139 @@ def quant_kv_pallas(k, k_scale, km, v, v_scale, vm, with_capmax=False,
         k8, v8, cap = res
         return k8, v8, jnp.max(cap, axis=(2, 3), keepdims=True)
     return res
+
+
+# ---------------------------------------------------------------------------
+# One-pass K/V prep (r3): stats + scale + quant in a SINGLE read.
+#
+# The two-pass prep (channel_stats then quant) reads each of K and V twice
+# from HBM; at S=8192 B4 H32 hd128 that is ~536 MB of avoidable traffic
+# (~0.75 ms at the measured ~700 GB/s copy floor) plus the XLA scale glue
+# between the launches.  Here the whole (S, D) head-slice is one grid step
+# resident in VMEM: mean -> amax -> scale -> quant before the block leaves.
+# Gated by slice size (ONEPASS_MAX_ELS) so VMEM never overflows; larger
+# shapes fall back to the two-pass kernels.  Fused-prep parity role:
+# `csrc/fused/fused.cu:64-198` + `:316-427` (the reference likewise never
+# re-reads the tensor it smooths/scales).
+# ---------------------------------------------------------------------------
+
+ONEPASS_MAX_ELS = 36864 * 128  # bf16 slice 9 MB; f32 work tile 18 MB —
+# measured on v5e: compiles and wins at 32K slices (A/B -2.0 ms vs
+# two-pass); covers the padded real-model shapes (Hunyuan 32528,
+# CogVideoX 17776).  Larger slices risk the 100 MB scoped-vmem budget.
+
+
+def _prep_k_kernel(x_ref, k8_ref, km_ref, ka_ref, cap_ref, *, s_true, S,
+                   capmax):
+    x = x_ref[0, 0].astype(jnp.float32)                       # (S, D)
+    if s_true < S:
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        valid = rows < s_true
+        xs = jnp.where(valid, x, 0.0)
+        xmax = jnp.where(valid, x, -3e38)
+        xmin = jnp.where(valid, x, 3e38)
+    else:
+        xs = xmax = xmin = x
+    mean = jnp.sum(xs, axis=0, keepdims=True) * (1.0 / s_true)  # (1, D)
+    amax_ch = jnp.maximum(jnp.max(xmax, axis=0, keepdims=True) - mean,
+                          mean - jnp.min(xmin, axis=0, keepdims=True))
+    head_amax = jnp.max(amax_ch)
+    scale = jnp.where(head_amax > 0, head_amax * (1.0 / 127.0), 1.0)
+    q8 = jnp.clip(jnp.rint((x - mean) * (1.0 / scale)), -127, 127)
+    k8_ref[0, 0] = q8.astype(jnp.int8)
+    km_ref[0, 0] = mean
+    # scalar-ish outputs as (8, 128) broadcast tiles (Mosaic tiling rule);
+    # the wrapper slices [:1, :1]
+    ka_ref[0, 0] = jnp.broadcast_to(head_amax, (8, 128))
+    if capmax:
+        n2 = jnp.sum(q8 * q8, axis=1, keepdims=True)          # (S, 1)
+        capv = jnp.sqrt(n2)
+        if s_true < S:
+            rcol = jax.lax.broadcasted_iota(jnp.int32, capv.shape, 0)
+            capv = jnp.where(rcol < s_true, capv, 0.0)
+        cap_ref[0, 0] = jnp.broadcast_to(jnp.max(capv), (8, 128))
+
+
+def prep_k_onepass_pallas(k, s_true: int, with_capmax: bool = False,
+                          interpret: bool = False):
+    """Flagship K prep in ONE read: per-channel mean (smooth_k), per-head
+    amax, int8 quant with the head scale [, unscaled row-norm capmax].
+    [B,H,S,D] -> (k_i8, km [B,H,1,D], head_amax [B,H,1,1][, capmax
+    [B,H,1,1]]).  ``head_amax``/capmax semantics match channel_stats +
+    quant_int8_fixed(with_capmax) exactly (scale folded downstream)."""
+    B, H, S, D = k.shape
+    io = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0))
+    bcast = pl.BlockSpec((1, 1, 8, 128), lambda b, h: (b, h, 0, 0))
+    out_specs = [io, pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0)),
+                 bcast]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, S, D), jnp.int8),
+                  jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+                  jax.ShapeDtypeStruct((B, H, 8, 128), jnp.float32)]
+    if with_capmax:
+        out_specs.append(bcast)
+        out_shapes.append(jax.ShapeDtypeStruct((B, H, 8, 128), jnp.float32))
+    kern = functools.partial(_prep_k_kernel, s_true=s_true, S=S,
+                             capmax=with_capmax)
+    if not with_capmax:
+        kern_full = kern
+        kern = lambda x, o, m, a: kern_full(x, o, m, a, None)
+    res = pl.pallas_call(
+        kern,
+        grid=(B, H),
+        in_specs=[io],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(k)
+    res = list(res)
+    res[2] = res[2][:, :, :1, :1]
+    if with_capmax:
+        res[3] = res[3][:, :, :1, :1]
+    return tuple(res)
+
+
+def _prep_v_kernel(x_ref, v8_ref, vm_ref, va_ref, *, s_true, S):
+    x = x_ref[0, 0].astype(jnp.float32)                       # (S, D)
+    if s_true < S:
+        rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+        valid = rows < s_true
+        xs = jnp.where(valid, x, 0.0)
+        xmax = jnp.where(valid, x, -3e38)
+        xmin = jnp.where(valid, x, 3e38)
+    else:
+        xs = xmax = xmin = x
+    mean = jnp.sum(xs, axis=0, keepdims=True) * (1.0 / s_true)  # (1, D)
+    amax = jnp.maximum(jnp.max(xmax, axis=0, keepdims=True) - mean,
+                       mean - jnp.min(xmin, axis=0, keepdims=True))
+    scale = jnp.where(amax > 0, amax * (1.0 / 127.0), 1.0)     # (1, D)
+    v8 = jnp.clip(jnp.rint((x - mean) * (1.0 / scale)), -127, 127)
+    v8_ref[0, 0] = v8.astype(jnp.int8)
+    vm_ref[0, 0] = mean
+    va_ref[0, 0] = amax
+
+
+def prep_v_onepass_pallas(v, s_true: int, interpret: bool = False):
+    """Flagship V prep in ONE read: per-channel mean (smooth_v) + amax +
+    per-channel int8 quant.  [B,H,S,D] -> (v_i8, vm [B,H,1,D], v_amax
+    [B,H,1,D]); semantics match channel_stats + quant_int8_fixed."""
+    B, H, S, D = v.shape
+    io = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0))
+    stat = pl.BlockSpec((1, 1, 1, D), lambda b, h: (b, h, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_prep_v_kernel, s_true=s_true, S=S),
+        grid=(B, H),
+        in_specs=[io],
+        out_specs=(io, stat, stat),
+        out_shape=(jax.ShapeDtypeStruct((B, H, S, D), jnp.int8),
+                   jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(v)

@@ -281,3 +281,54 @@ class TestMergedKvPrep:
                               use_fused=False, interpret=True)
         assert calc_diff(out, ref) < 2e-5
         assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3
+
+
+class TestOnepassPrep:
+    """r3: single-read K/V prep (stats + scale + quant in one launch) —
+    must agree with the two-pass kernels (same reduce order at one-block
+    sizes, so int8 outputs match exactly)."""
+
+    def test_prep_k_matches_two_pass(self):
+        k = rand((1, 2, 512, 64), key=41, scale=2.0)
+        k8_1, km_1, ka_1, cap_1 = qp.prep_k_onepass_pallas(
+            k, 400, with_capmax=True, interpret=True)
+        km_2, kach = qp.channel_stats_pallas(k, 400, interpret=True)
+        ka_2 = jnp.max(kach, axis=3, keepdims=True)
+        ks = jnp.where(ka_2 > 0, ka_2 * (1.0 / 127.0), 1.0)
+        k8_2, cap_2 = qp.quant_int8_fixed_pallas(
+            k, ks, sub=km_2, with_capmax=True, s_true=400, interpret=True)
+        np.testing.assert_allclose(np.asarray(km_1), np.asarray(km_2),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ka_1), np.asarray(ka_2),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(k8_1), np.asarray(k8_2))
+        np.testing.assert_allclose(np.asarray(cap_1), np.asarray(cap_2),
+                                   rtol=1e-6)
+
+    def test_prep_v_matches_two_pass(self):
+        v = rand((1, 2, 512, 64), key=42, scale=3.0)
+        v8_1, vm_1, va_1 = qp.prep_v_onepass_pallas(v, 512, interpret=True)
+        vm_2, va_2 = qp.channel_stats_pallas(v, 512, interpret=True)
+        vs = jnp.where(va_2 > 0, va_2 * (1.0 / 127.0), 1.0)
+        v8_2 = qp.quant_int8_fixed_pallas(v, vs, sub=vm_2, interpret=True)
+        np.testing.assert_allclose(np.asarray(vm_1), np.asarray(vm_2),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(va_1), np.asarray(va_2),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(v8_1), np.asarray(v8_2))
+
+    def test_flagship_pipeline_onepass_equals_jnp(self):
+        from sageattention_tpu.core import _sage_attention
+        from sageattention_tpu.ops.reference import sdpa
+        from sageattention_tpu.utils.testing import calc_diff
+        ks_ = jax.random.split(jax.random.PRNGKey(43), 3)
+        q, k, v = (jax.random.normal(kk, (1, 2, 640, 64), jnp.float32)
+                   for kk in ks_)
+        # unaligned S=640 pads up; flagship combination routes through the
+        # one-pass prep (slice well under ONEPASS_MAX_ELS)
+        out = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
+                              use_fused=True, interpret=True)
+        ref = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
+                              use_fused=False, interpret=True)
+        assert calc_diff(out, ref) < 2e-5
+        assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3

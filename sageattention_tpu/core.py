@@ -136,6 +136,11 @@ def _sage_attention(
     # statistic (K mean, head amax, V channel stats, static-softmax caps).
     # q rows past the matching true length produce garbage the caller
     # slices off.
+    fuse_q_quant: Optional[bool] = None,  # r3: quantize Q inside the
+    # attention kernel (per-row scales; the standalone Q-quant launch
+    # disappears).  None = auto (on whenever eligible: fused head-mode
+    # dense path).  Tests pass False to compare the pre-quantized pipeline
+    # exactly against the jnp reference.
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
     ``block_q``/``block_k`` of 0 select tuned sizes for the shape.
@@ -176,6 +181,10 @@ def _sage_attention(
     in_layout = "NHD" if nhd_direct else "HND"
     if Hq % Hk != 0:
         raise ValueError(f"num_qo_heads ({Hq}) must be divisible by num_kv_heads ({Hk})")
+    if v.shape != k.shape:
+        # a silently shorter V would be zero-padded up to kv_len (r3 drive
+        # probe): refuse instead
+        raise ValueError(f"k and v shapes must match, got {k.shape} vs {v.shape}")
     if is_causal and Sq != Sk:
         raise ValueError("is_causal requires qo_len == kv_len (as in the reference)")
     if sm_scale is None:
@@ -258,6 +267,18 @@ def _sage_attention(
         k_scale_mode = "head"
     if k_scale_mode not in ("head", "fine"):
         raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
+    # In-kernel Q quantization (r3): on the fused head-mode dense path the
+    # attention kernel reads bf16 Q and quantizes it per row at j == 0 (the
+    # Q tile is resident exactly once) — the standalone Q-quant launch and
+    # the host-side static-safety prediction both disappear (safety becomes
+    # an exact post-hoc check on the kernel's min row denominator).
+    fuse_qq = (use_fused and not nhd_direct and masked == "none"
+               and k_scale_mode == "head"
+               and jnp.issubdtype(q.dtype, jnp.floating)
+               and fuse_q_quant is not False)
+    if fuse_q_quant and not fuse_qq:
+        raise ValueError("fuse_q_quant=True requires the fused head-mode "
+                         "dense unmasked path with float inputs")
     if not use_fused:
         kvw = kv_valid_in if kv_valid_in is not None else 1.0
         if k_scale_mode == "head":
@@ -373,8 +394,11 @@ def _sage_attention(
         else:
             k_i8, k_s = qp.quant_int8_groupwise_pallas(
                 k, k_group, sub=km, in_layout=in_layout, interpret=interpret)
-        # single-pass Q quant + cap reduction (static-softmax input)
-        if want_cap:
+        # single-pass Q quant + cap reduction (static-softmax input);
+        # fuse_qq quantizes Q inside the attention kernel instead
+        if fuse_qq:
+            q_i8 = q_s = None
+        elif want_cap:
             q_i8, q_s, q_capmax = qp.quant_int8_groupwise_pallas(
                 q, q_group, fold=fold, with_capmax=True, in_layout=in_layout,
                 interpret=interpret)
@@ -391,14 +415,20 @@ def _sage_attention(
     else:
         q_i8, q_s, k_i8, k_s = quant_ops._quant_qk(
             q, k, km, sm_scale, q_group, k_group, "HND")
-    if nhd_direct:
+    if fuse_qq:
+        # Q scales are born inside the attention kernel; the per-head K
+        # scale travels as its own input (k_head_scale)
+        q_scale = q_scale_prefold = k_scale = None
+    elif nhd_direct:
         # NHD quant kernels return per-row scales directly ([B,H,S,1]) —
         # no host expand pass
         q_scale = q_s
     else:
         q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
-    q_scale_prefold = q_scale
-    if k_scale_mode == "head":
+    if fuse_qq:
+        pass
+    elif k_scale_mode == "head":
+        q_scale_prefold = q_scale
         ks_head = k_s[:, :, 0]  # [B, Hk]
         if Hq != Hk:
             ks_head = jnp.repeat(ks_head, Hq // Hk, axis=1)
@@ -462,7 +492,13 @@ def _sage_attention(
     # for interpret mode).
     kn_max_in = None
     static_safe = None
-    if softmax_mode == "static":
+    if softmax_mode == "static" and fuse_qq:
+        # fuse_q_quant: the kernel computes the per-row caps itself from the
+        # resident Q tile; the host supplies only max_j||k8_j|| and the
+        # safety decision moves POST-HOC (exact) — see below.
+        kn_max_in = (jnp.repeat(k_capmax, Hq // Hk, axis=1)
+                     if Hq != Hk else k_capmax)                # [B,Hq,1,1]
+    elif softmax_mode == "static":
         if q_capmax is None:  # jnp fallback (interpret / non-fused path)
             qn = jnp.sqrt(jnp.sum(jnp.square(q_i8.astype(jnp.float32)),
                                   axis=3, keepdims=True))      # [B,Hq,Sq,1]
@@ -559,13 +595,32 @@ def _sage_attention(
             fuse_v_mean=(vm is not None),
             # keep P bf16 in the fallback so both cond branches share numerics
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
+            fuse_q_quant=fuse_qq, sm_scale=sm_scale,
+            q_len=(Sq if (fuse_qq and Sq_pad != Sq) else 0),
         )
         return attention_call(
-            q_i8, k_i8, v_in, q_scale, k_scale, v_scale, attn_mask=mask_in,
+            q if fuse_qq else q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
+            attn_mask=mask_in,
             kn_max=kn_max_in if mode == "static" else None,
-            v_mean=vm, cfg=cfg, interpret=interpret)
+            v_mean=vm, k_head_scale=ks_sc if fuse_qq else None,
+            cfg=cfg, interpret=interpret)
 
-    if softmax_mode == "static":
+    if softmax_mode == "static" and fuse_qq:
+        # POST-HOC static safety (exact, replaces the predictive q_capmax
+        # check): the kernel emits the min row denominator l_i = sum_j
+        # exp2(s_ij - C_i) >= exp2(rowmax_i - C_i) over true rows.  A tiny
+        # min means some row's entire softmax underflowed the cap's slack
+        # (causal rows whose visible logits all sit far below the dense
+        # cap included — the ADVICE r2 gap); those calls rerun online via
+        # lax.cond, so normal data pays nothing.  2^-100 keeps the row's
+        # max P term >= 2^-117 even at S=128K — comfortably inside bf16's
+        # normal range (min normal 2^-126), so precision is intact well
+        # before the threshold trips.
+        out_s, lse_s, lmin = _call("static")
+        static_safe = jnp.min(lmin) >= 2.0 ** -100
+        out, lse_b2 = jax.lax.cond(
+            static_safe, lambda: (out_s, lse_s), lambda: _call("online"))
+    elif softmax_mode == "static":
         out, lse_b2 = jax.lax.cond(
             static_safe, lambda: _call("static"), lambda: _call("online"))
     else:
@@ -779,6 +834,7 @@ def sageattn(
         k_scale_mode=kwargs.pop("k_scale_mode", "head"),
         attn_mask=kwargs.pop("attn_mask", None),
         interpret=kwargs.pop("interpret", None),
+        fuse_q_quant=kwargs.pop("fuse_q_quant", None),
     )
 
 

@@ -124,6 +124,21 @@ class AttnConfig:
     # need it — the common inference path — skip the epilogue log2 and the
     # (B,H,S,1) store; the reference's RETURN_LSE dispatch macro,
     # `dispatch_utils.h:23-112`)
+    fuse_q_quant: bool = False  # r3: Q arrives bf16 and is quantized
+    # IN-KERNEL, per row, once per Q-tile (at j == 0, into VMEM scratch) —
+    # each Q tile is loaded exactly once per (b, h, q_block), so the
+    # standalone Q-quant launch (read bf16 + write int8 + re-read int8,
+    # ~0.74 ms marginal at S=8192 B4 H32) disappears and the scale gets
+    # per-ROW granularity (finer than the host kernels' 128-row groups).
+    # In compute_dtype="bf16" mode Q is not quantized at all (q*fold*ks
+    # goes straight to the bf16 scratch — strictly more accurate).
+    # Requires fold_k_scale (the per-head K scale arrives as the
+    # k_head_scale input) and masked == "none".  With softmax_mode
+    # "static" the kernel also emits a per-(b,h,q_block) MIN row
+    # denominator so the caller can make the underflow-safety decision
+    # POST-HOC (exact) instead of predicting it from a q_capmax prepass.
+    q_len: int = 0  # true q length (pre-padding); pad rows are excluded
+    # from the lmin reduction (0 = no q padding)
     softmax_mode: str = "online"  # "online": classic flash running-max.
     # "static": the max is replaced by a precomputed per-row upper bound C_i
     # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
@@ -207,8 +222,12 @@ def _attn_kernel(
     static_mode = cfg.softmax_mode == "static"
     knmax_ref = None
     vm_ref = None
+    qs_ref = ksh_ref = None
     if cfg.quantized:
-        qs_ref = next(it)
+        if cfg.fuse_q_quant:
+            ksh_ref = next(it)   # per-head K scale (fold_k_scale required)
+        else:
+            qs_ref = next(it)
         ks_ref = None if cfg.fold_k_scale else next(it)
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
         vm_ref = next(it) if cfg.fuse_v_mean else None
@@ -218,11 +237,15 @@ def _attn_kernel(
     mask_ref = next(it) if cfg.masked != "none" else None
     o_ref = next(it)
     lse_ref = next(it) if cfg.emit_lse else None
+    lmin_ref = next(it) if (static_mode and cfg.fuse_q_quant) else None
     m_scr = next(it)
     l_scr = next(it)
     acc_scr = next(it)
     dq_compute = cfg.quantized and cfg.compute_dtype == "bf16"
     qbf_scr = next(it) if dq_compute else None
+    fuse_native = cfg.fuse_q_quant and not dq_compute
+    q8_scr = next(it) if fuse_native else None
+    qs_scr = next(it) if fuse_native else None
 
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -231,7 +254,40 @@ def _attn_kernel(
 
     @pl.when(j == 0)
     def _init():
-        if static_mode:
+        if cfg.fuse_q_quant:
+            # Q quantization fused into the attention kernel: the bf16 Q
+            # tile is resident exactly once per (b, h, q_block), so the
+            # standalone quant launch is pure overhead.  Per-ROW scales
+            # (finer than the host kernels' groups); fold = sm_scale*log2e
+            # applied here; the per-head K scale (fold_k_scale) multiplies
+            # the effective row scale.
+            qf = q_ref[0, 0].astype(jnp.float32) * (cfg.sm_scale * LOG2E)
+            ksh = ksh_ref[0, 0]                               # (1, 1)
+            if dq_compute:
+                # bf16-compute mode: Q is not quantized at all
+                qe = qf * ksh
+                qbf_scr[...] = qe.astype(jnp.bfloat16)
+                if static_mode:
+                    # C-S bound on the bf16 payload: |qe.k8| <= ||qe|| ||k8||;
+                    # 1+2^-7 absorbs the bf16 rounding of the scratch store
+                    # plus f32 reduction error.
+                    qn = jnp.sqrt(jnp.sum(qe * qe, axis=1, keepdims=True))
+                    cap = qn * (knmax_ref[0, 0] * (1.0 + 2.0 ** -7))
+                    m_scr[...] = jnp.broadcast_to(cap, m_scr.shape)
+            else:
+                a = jnp.max(jnp.abs(qf), axis=1, keepdims=True)  # (BQ, 1)
+                qs = jnp.where(a > 0, a * (1.0 / 127.0), 1.0)
+                q8 = jnp.clip(jnp.rint(qf * (1.0 / qs)), -127, 127)
+                q8_scr[...] = q8.astype(jnp.int8)
+                qse = qs * ksh                                # (BQ, 1)
+                qs_scr[...] = jnp.broadcast_to(qse, qs_scr.shape)
+                if static_mode:
+                    qn = jnp.sqrt(jnp.sum(q8 * q8, axis=1, keepdims=True))
+                    cap = qse * qn * (knmax_ref[0, 0] * (1.0 + 1e-5))
+                    m_scr[...] = jnp.broadcast_to(cap, m_scr.shape)
+            if not static_mode:
+                m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
+        elif static_mode:
             # The per-row logit bound C = qs_i * ||q8_i|| * max_j(ks_j *
             # ||k8_j||) plays the role of the final running max (the
             # epilogue's lse formula is then already correct).  ||q8_i|| is
@@ -248,7 +304,7 @@ def _attn_kernel(
             m_scr[...] = jnp.full_like(m_scr, M_CLAMP)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
-        if dq_compute:
+        if dq_compute and not cfg.fuse_q_quant:
             # dequantize Q once per Q-tile; int8*f32->bf16 keeps the int8
             # payload exact (8-bit mantissa) with the folded row scale applied
             qbf_scr[...] = (q_ref[0, 0].astype(jnp.float32)
@@ -285,7 +341,12 @@ def _attn_kernel(
 
     @pl.when(run)
     def _body():
-        q = qbf_scr[...] if dq_compute else q_ref[0, 0]
+        if dq_compute:
+            q = qbf_scr[...]
+        elif fuse_native:
+            q = q8_scr[...]
+        else:
+            q = q_ref[0, 0]
         D = q.shape[-1]
 
         def sub_tile(t, causal_mask=True, tail_mask=True):
@@ -312,10 +373,14 @@ def _attn_kernel(
                 s32 = jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                qs = qs_ref[0, 0]                       # (BQ, 1)
-                if cfg.fold_k_scale:
+                if fuse_native:
+                    # per-row scale (x per-head ks) from the in-kernel quant
+                    s = s32.astype(jnp.float32) * _bcast(qs_scr[...], BKI)
+                elif cfg.fold_k_scale:
+                    qs = qs_ref[0, 0]                   # (BQ, 1)
                     s = s32.astype(jnp.float32) * qs    # ks folded into qs
                 else:
+                    qs = qs_ref[0, 0]                   # (BQ, 1)
                     ks = ks_ref[0, 0, :, sl]            # (1, BKI)
                     s = s32.astype(jnp.float32) * qs * ks
                 # s: base-2 logits
@@ -465,6 +530,20 @@ def _attn_kernel(
                    if (cfg.quantized and cfg.pv_dtype == "fp8") else 0.0)
             lse = m_scr[:, :1] + jnp.log2(jnp.maximum(l_scr[:, :1], 1e-37)) - off
             lse_ref[0, 0] = lse  # (BQ, 1)
+        if lmin_ref is not None:
+            # post-hoc static-safety signal: the MIN row denominator over
+            # this block's TRUE rows.  l_i = sum_j exp2(s_ij - C_i) >=
+            # exp2(rowmax_i - C_i); a tiny min means some row's entire
+            # softmax underflowed the cap's slack and the caller must rerun
+            # online (exact replacement for the q_capmax safety PREdiction).
+            lv = l_scr[:, :1]
+            if cfg.q_len:
+                # NB: capture the kernel-top `i` — pl.program_id has no
+                # interpret-mode lowering inside a pl.when body
+                rows = jax.lax.broadcasted_iota(jnp.int32, lv.shape, 0) \
+                    + i * cfg.block_q
+                lv = jnp.where(rows < cfg.q_len, lv, 3e38)
+            lmin_ref[0, 0] = jnp.broadcast_to(jnp.min(lv), (8, 128))
 
 
 def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
@@ -548,6 +627,8 @@ def attention_call(
     #                    (softmax_mode="static" only)
     v_mean=None,       # [B, Hk, 1, D] f32 (fuse_v_mean only)
     kv_true_dyn=None,  # () int32 true kv length (kv_len_dynamic only)
+    k_head_scale=None,  # [B, Hk, 1, 1] f32 per-head K scale
+    #                     (fuse_q_quant only; replaces the q_scale input)
     *,
     cfg: AttnConfig,
     interpret: bool = False,
@@ -568,6 +649,14 @@ def attention_call(
     if cfg.compute_dtype == "bf16" and cfg.quantized:
         assert cfg.fold_k_scale, "bf16-compute mode needs head-folded K scales"
         assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
+    if cfg.fuse_q_quant:
+        assert cfg.quantized and cfg.fold_k_scale, \
+            "fuse_q_quant needs the quantized head-folded-K path"
+        assert cfg.masked == "none" and not cfg.segmented, \
+            "fuse_q_quant covers the dense unmasked path"
+        assert k_head_scale is not None, "fuse_q_quant needs k_head_scale"
+        assert jnp.issubdtype(q.dtype, jnp.floating), q.dtype
+        assert q_scale is None, "fuse_q_quant quantizes Q in-kernel"
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"
         assert kn_max is not None, "softmax_mode='static' needs kn_max"
@@ -619,8 +708,14 @@ def attention_call(
     in_specs += [q_spec, k_spec, v_spec]
     inputs += [q, k, v]
     if cfg.quantized:
-        in_specs.append(qs_spec)
-        inputs.append(q_scale.astype(jnp.float32))
+        if cfg.fuse_q_quant:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, 1),
+                lambda b, h, i, j, *_: (b, h // (Hq // Hk), 0, 0)))
+            inputs.append(k_head_scale.astype(jnp.float32))
+        else:
+            in_specs.append(qs_spec)
+            inputs.append(q_scale.astype(jnp.float32))
         if not cfg.fold_k_scale:
             in_specs.append(ks_spec)
             inputs.append(k_scale.astype(jnp.float32))
@@ -659,16 +754,27 @@ def attention_call(
     if cfg.emit_lse:
         out_shapes += (jax.ShapeDtypeStruct((B, Hq, Sq, 1), jnp.float32),)
         out_specs += (lse_spec,)
+    emit_lmin = cfg.softmax_mode == "static" and cfg.fuse_q_quant
+    if emit_lmin:
+        out_shapes += (jax.ShapeDtypeStruct((B, Hq, n_q * 8, LANES),
+                                            jnp.float32),)
+        out_specs += (pl.BlockSpec((1, 1, 8, LANES),
+                                   lambda b, h, i, j, *_: (b, h, i, 0)),)
 
     kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv,
                                mask_heads=Hm)
     flops = 4 * B * Hq * Sq * Sk * D // (2 if cfg.causal else 1)
+    dq_compute = cfg.quantized and cfg.compute_dtype == "bf16"
     scratch_shapes = [
         pltpu.VMEM((BQ, LANES), jnp.float32),
         pltpu.VMEM((BQ, LANES), jnp.float32),
         pltpu.VMEM((BQ, D), jnp.float32),
-    ] + ([pltpu.VMEM((BQ, D), jnp.bfloat16)]
-         if (cfg.quantized and cfg.compute_dtype == "bf16") else [])
+    ]
+    if dq_compute:
+        scratch_shapes.append(pltpu.VMEM((BQ, D), jnp.bfloat16))
+    elif cfg.fuse_q_quant:
+        scratch_shapes += [pltpu.VMEM((BQ, D), jnp.int8),
+                           pltpu.VMEM((BQ, LANES), jnp.float32)]
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         # v5e has 128 MB VMEM; large tiles need more than the 16 MB
@@ -706,6 +812,11 @@ def attention_call(
             cost_estimate=cost,
             interpret=interpret,
         )(*inputs)
+    if emit_lmin:
+        if cfg.emit_lse:
+            out, lse, lmin = res
+            return out, lse[..., 0], lmin
+        return res[0], None, res[1]
     if cfg.emit_lse:
         out, lse = res
         return out, lse[..., 0]

@@ -180,6 +180,14 @@ class TestApiSurface:
         f = jax.jit(lambda q, k, v: sa.sageattn_qk_int8_pv_bf16(q, k, v))
         assert calc_diff(f(q, k, v), sdpa(q, k, v)) < 1e-3
 
+    def test_kv_shape_mismatch_rejected(self):
+        # a silently shorter V used to be zero-padded up to kv_len
+        q, k, v = qkv()
+        with pytest.raises(ValueError):
+            sa.sageattn(q, k, v[:, :, :128])
+        with pytest.raises(ValueError):
+            sa.sageattn(q, k[:, :, :128], v)
+
     def test_causal_requires_equal_lengths(self):
         q, k, v = qkv(S=128, Sk=256)
         with pytest.raises(ValueError):
@@ -206,9 +214,12 @@ class TestNhdDirect:
                                   use_fused=True, interpret=True)
         assert out_nhd.shape == q.shape
         qh, kh, vh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        # fuse_q_quant off on the HND side: NHD-direct pre-quantizes Q, so
+        # the exact-match comparison needs the same granularity
         out_hnd = _sage_attention(qh, kh, vh, tensor_layout="HND",
                                   is_causal=causal, pv_dtype=pv_dtype,
-                                  use_fused=True, interpret=True)
+                                  use_fused=True, interpret=True,
+                                  fuse_q_quant=False)
         np.testing.assert_allclose(
             np.asarray(jnp.swapaxes(out_nhd, 1, 2), dtype=np.float32),
             np.asarray(out_hnd, dtype=np.float32), atol=1e-6)
@@ -230,9 +241,94 @@ class TestNhdDirect:
         qh, kh, vh = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
         out_h, lse_h = _sage_attention(qh, kh, vh, tensor_layout="HND",
                                        pv_dtype="int8", return_lse=True,
-                                       use_fused=True, interpret=True)
+                                       use_fused=True, interpret=True,
+                                       fuse_q_quant=False)
         np.testing.assert_allclose(np.asarray(lse_n), np.asarray(lse_h),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFuseQQuant:
+    """r3 in-kernel Q quantization: the attention kernel reads bf16 Q,
+    quantizes per-row at j==0 (per-row scales — finer than the host
+    kernels' groups) and, in static mode, emits the min row denominator so
+    the static-safety decision is POST-HOC and exact (underflowing calls
+    rerun online via lax.cond).  Default-on for the fused head-mode dense
+    path."""
+
+    @pytest.mark.parametrize("pv_dtype", ["int8", "bf16"])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_oracle(self, pv_dtype, causal):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=4, Hk=2, S=300, D=64)
+        out = _sage_attention(q, k, v, is_causal=causal, pv_dtype=pv_dtype,
+                              k_scale_mode="head", use_fused=True,
+                              interpret=True)
+        assert calc_diff(out, sdpa(q, k, v, is_causal=causal)) < 1.5e-3
+        # per-row scales: the fused path must be at least as accurate as
+        # the pre-quantized (128-row-group) pipeline
+        pre = _sage_attention(q, k, v, is_causal=causal, pv_dtype=pv_dtype,
+                              k_scale_mode="head", use_fused=True,
+                              interpret=True, fuse_q_quant=False)
+        d_f = calc_diff(out, sdpa(q, k, v, is_causal=causal))
+        d_p = calc_diff(pre, sdpa(q, k, v, is_causal=causal))
+        assert d_f < d_p * 1.5 + 1e-6
+
+    def test_bf16_compute_path(self):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=256, D=64)
+        out = _sage_attention(q, k, v, pv_dtype="int8", use_fused=True,
+                              compute_dtype="bf16", interpret=True)
+        assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3
+
+    def test_adversarial_falls_back_online(self):
+        """Post-hoc safety: data whose caps overshoot every visible logit
+        (smooth_k off, huge spread) must equal the online-mode result —
+        the lmin check reruns the kernel rather than returning underflowed
+        (~zero) rows."""
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=1, S=256, D=64, scale=60.0)
+        out = _sage_attention(q, k, v, pv_dtype="bf16", smooth_k=False,
+                              k_scale_mode="head", use_fused=True,
+                              interpret=True)
+        ref = _sage_attention(q, k, v, pv_dtype="bf16", smooth_k=False,
+                              k_scale_mode="head", use_fused=True,
+                              softmax_mode="online", interpret=True)
+        np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                                   np.asarray(ref, dtype=np.float32),
+                                   atol=1e-6)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_lmin_discriminates(self):
+        """The kernel's min-denominator output: large for normal data,
+        ~zero when every visible logit underflows the cap."""
+        from sageattention_tpu.ops.attention import AttnConfig, attention_call
+        for scale, expect_safe in ((1.0, True), (60.0, False)):
+            q, k, v = qkv(B=1, H=1, S=256, D=128, scale=scale)
+            kf = k.astype(jnp.float32)
+            amax = jnp.max(jnp.abs(kf), axis=(2, 3), keepdims=True)
+            ks = amax / 127.0
+            k8 = jnp.clip(jnp.rint(kf / ks), -127, 127).astype(jnp.int8)
+            kn = jnp.sqrt(jnp.sum(jnp.square(k8.astype(jnp.float32)), axis=3))
+            knmax = jnp.max(kn, axis=2)[:, :, None, None]
+            cfg = AttnConfig(
+                block_q=128, block_k=128, block_k_inner=128, causal=False,
+                quantized=True, pv_dtype="bf16", layout="HND", kv_len=256,
+                out_dtype=jnp.float32, fold_k_scale=True,
+                softmax_mode="static", fuse_q_quant=True,
+                sm_scale=1 / np.sqrt(128))
+            _, _, lmin = attention_call(
+                q, k8, v.astype(jnp.bfloat16), None, None, None,
+                kn_max=knmax, k_head_scale=ks, cfg=cfg, interpret=True)
+            assert (float(jnp.min(lmin)) >= 2.0 ** -100) == expect_safe
+
+    def test_explicit_flag_rejected_off_path(self):
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=256, D=64)
+        mask = jnp.ones((1, 1, 256, 256), jnp.bool_)
+        with pytest.raises(ValueError):
+            _sage_attention(q, k, v, pv_dtype="int8", use_fused=True,
+                            attn_mask=mask, interpret=True,
+                            fuse_q_quant=True)
 
 
 class TestKvTruePrePadded:

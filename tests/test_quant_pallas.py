@@ -273,8 +273,11 @@ class TestMergedKvPrep:
         q, k, v = (jax.random.normal(kk, (1, 2, 512, 64), jnp.float32)
                    for kk in ks_)
         # the flagship combination routes through the merged launches
+        # (fuse_q_quant pinned off: this test isolates the K/V prep math,
+        # and the in-kernel Q quant uses finer per-row scales)
         out = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
-                              use_fused=True, interpret=True)
+                              use_fused=True, interpret=True,
+                              fuse_q_quant=False)
         # separate-launch result via smooth_v False ... instead compare to
         # the jnp pipeline (identical math) and the oracle
         ref = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
@@ -325,9 +328,11 @@ class TestOnepassPrep:
         q, k, v = (jax.random.normal(kk, (1, 2, 640, 64), jnp.float32)
                    for kk in ks_)
         # unaligned S=640 pads up; flagship combination routes through the
-        # one-pass prep (slice well under ONEPASS_MAX_ELS)
+        # one-pass prep (slice well under ONEPASS_MAX_ELS); fuse_q_quant
+        # pinned off to isolate the prep math
         out = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
-                              use_fused=True, interpret=True)
+                              use_fused=True, interpret=True,
+                              fuse_q_quant=False)
         ref = _sage_attention(q, k, v, pv_dtype="int8", k_scale_mode="head",
                               use_fused=False, interpret=True)
         assert calc_diff(out, ref) < 2e-5

@@ -132,11 +132,18 @@ class AttnConfig:
     # per-ROW granularity (finer than the host kernels' 128-row groups).
     # In compute_dtype="bf16" mode Q is not quantized at all (q*fold*ks
     # goes straight to the bf16 scratch — strictly more accurate).
-    # Requires fold_k_scale (the per-head K scale arrives as the
-    # k_head_scale input) and masked == "none".  With softmax_mode
-    # "static" the kernel also emits a per-(b,h,q_block) MIN row
-    # denominator so the caller can make the underflow-safety decision
+    # K-scale variants: with fold_k_scale the K scale arrives as the
+    # k_head_scale input — per-head (1,1,1,1) by default, per-Q-ROW
+    # ([B,Hq,Sq,1], fuse_k_rows=True) for the varlen per-segment fold;
+    # without fold_k_scale the per-col K scales ride the usual ks input
+    # and kn_max must already include them.  masked == "none" only
+    # (segments are fine: per-row Q scales never cross a segment).  With
+    # softmax_mode "static" the kernel also emits a per-(b,h,q_block) MIN
+    # row denominator so the caller can make the underflow-safety decision
     # POST-HOC (exact) instead of predicting it from a q_capmax prepass.
+    fuse_k_rows: bool = False  # fuse_q_quant only: the k_head_scale input
+    # is per Q row ([B,Hq,Sq,1]) instead of per head — varlen folds each
+    # segment's K scale into its own rows
     q_len: int = 0  # true q length (pre-padding); pad rows are excluded
     # from the lmin reduction (0 = no q padding)
     softmax_mode: str = "online"  # "online": classic flash running-max.
@@ -225,7 +232,9 @@ def _attn_kernel(
     qs_ref = ksh_ref = None
     if cfg.quantized:
         if cfg.fuse_q_quant:
-            ksh_ref = next(it)   # per-head K scale (fold_k_scale required)
+            # per-head (or per-Q-row, fuse_k_rows) K scale; absent without
+            # fold_k_scale (per-col ks rides the usual input below)
+            ksh_ref = next(it) if cfg.fold_k_scale else None
         else:
             qs_ref = next(it)
         ks_ref = None if cfg.fold_k_scale else next(it)
@@ -262,7 +271,9 @@ def _attn_kernel(
             # applied here; the per-head K scale (fold_k_scale) multiplies
             # the effective row scale.
             qf = q_ref[0, 0].astype(jnp.float32) * (cfg.sm_scale * LOG2E)
-            ksh = ksh_ref[0, 0]                               # (1, 1)
+            # (1,1) per-head | (BQ,1) per-row | 1.0 when per-col ks rides
+            # the usual input (then kn_max includes the k scales)
+            ksh = ksh_ref[0, 0] if cfg.fold_k_scale else 1.0
             if dq_compute:
                 # bf16-compute mode: Q is not quantized at all
                 qe = qf * ksh
@@ -374,8 +385,10 @@ def _attn_kernel(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.int32)
                 if fuse_native:
-                    # per-row scale (x per-head ks) from the in-kernel quant
+                    # per-row scale (x folded ks) from the in-kernel quant
                     s = s32.astype(jnp.float32) * _bcast(qs_scr[...], BKI)
+                    if not cfg.fold_k_scale:
+                        s = s * ks_ref[0, 0, :, sl]         # (1, BKI)
                 elif cfg.fold_k_scale:
                     qs = qs_ref[0, 0]                   # (BQ, 1)
                     s = s32.astype(jnp.float32) * qs    # ks folded into qs
@@ -650,11 +663,11 @@ def attention_call(
         assert cfg.fold_k_scale, "bf16-compute mode needs head-folded K scales"
         assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
     if cfg.fuse_q_quant:
-        assert cfg.quantized and cfg.fold_k_scale, \
-            "fuse_q_quant needs the quantized head-folded-K path"
-        assert cfg.masked == "none" and not cfg.segmented, \
-            "fuse_q_quant covers the dense unmasked path"
-        assert k_head_scale is not None, "fuse_q_quant needs k_head_scale"
+        assert cfg.quantized, "fuse_q_quant needs the quantized path"
+        assert cfg.masked == "none", \
+            "fuse_q_quant covers the unmasked (dense or segmented) path"
+        assert (k_head_scale is not None) == cfg.fold_k_scale, \
+            "k_head_scale iff fold_k_scale under fuse_q_quant"
         assert jnp.issubdtype(q.dtype, jnp.floating), q.dtype
         assert q_scale is None, "fuse_q_quant quantizes Q in-kernel"
     if cfg.softmax_mode == "static":
@@ -709,10 +722,12 @@ def attention_call(
     inputs += [q, k, v]
     if cfg.quantized:
         if cfg.fuse_q_quant:
-            in_specs.append(pl.BlockSpec(
-                (1, 1, 1, 1),
-                lambda b, h, i, j, *_: (b, h // (Hq // Hk), 0, 0)))
-            inputs.append(k_head_scale.astype(jnp.float32))
+            if cfg.fold_k_scale:
+                in_specs.append(
+                    qs_spec if cfg.fuse_k_rows else pl.BlockSpec(
+                        (1, 1, 1, 1),
+                        lambda b, h, i, j, *_: (b, h // (Hq // Hk), 0, 0)))
+                inputs.append(k_head_scale.astype(jnp.float32))
         else:
             in_specs.append(qs_spec)
             inputs.append(q_scale.astype(jnp.float32))

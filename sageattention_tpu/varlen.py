@@ -165,6 +165,20 @@ def sageattn_varlen(
             km = (jnp.sum(kh * valid, axis=2, keepdims=True)
                   / jnp.maximum(Tk, 1))
 
+    # In-kernel Q quantization (r3, see core._sage_attention): per-ROW Q
+    # scales are automatically segment-correct (a row never crosses its
+    # segment), the standalone Q-quant launch disappears, and static-safety
+    # becomes an exact POST-HOC check on the kernel's min row denominator —
+    # valid for ANY packing (no diagonal-visibility assumption), so static
+    # mode no longer needs matching q/k packings.
+    fuse_q_quant = kwargs.pop("fuse_q_quant", None)
+    fuse_qq = (use_fused and attn_mask is None
+               and jnp.issubdtype(q.dtype, jnp.floating)
+               and fuse_q_quant is not False)
+    if fuse_q_quant and not fuse_qq:
+        raise ValueError("fuse_q_quant=True requires the fused unmasked "
+                         "varlen path with float inputs")
+
     # same-pack determination moved up: it decides softmax_mode, which in
     # turn decides which safety statistics the fused quant kernels emit.
     same_pack = Tq == Tk and cu_seqlens_q is cu_seqlens_k
@@ -175,21 +189,24 @@ def sageattn_varlen(
         same_pack = _np.array_equal(_np.asarray(cu_seqlens_q),
                                     _np.asarray(cu_seqlens_k))
     if softmax_mode == "auto":
-        softmax_mode = ("static" if (pv_dtype != "fp8"
-                                     and attn_mask is None and same_pack)
+        softmax_mode = ("static" if (pv_dtype != "fp8" and attn_mask is None
+                                     and (same_pack or fuse_qq))
                         else "online")
-    elif softmax_mode == "static" and not same_pack:
-        # The static-safety predicate anchors each row's max VISIBLE logit
-        # at the diagonal logit q_i . k_i, which is only a visible logit
-        # when the q and k packings align row-for-row.  With mismatched
-        # packings the bound is invalid: safety could be approved while
-        # every visible logit underflows (ADVICE r2).  Refuse loudly.
+    elif softmax_mode == "static" and not (same_pack or fuse_qq):
+        # The PREDICTIVE static-safety check anchors each row's max VISIBLE
+        # logit at the diagonal logit q_i . k_i, which is only a visible
+        # logit when the q and k packings align row-for-row.  With
+        # mismatched packings the bound is invalid: safety could be
+        # approved while every visible logit underflows (ADVICE r2).
+        # Refuse loudly.  (With fuse_q_quant the check is post-hoc and
+        # exact, so any packing is fine.)
         raise ValueError(
             "softmax_mode='static' requires matching q/k packings "
-            "(cu_seqlens_q == cu_seqlens_k, verifiable at trace time); "
-            "the static-safety bound is anchored on the diagonal logit, "
-            "which mismatched packings may hide.  Use softmax_mode='auto' "
-            "or 'online'.")
+            "(cu_seqlens_q == cu_seqlens_k, verifiable at trace time) "
+            "unless the fused path (fuse_q_quant) is available; the "
+            "predictive static-safety bound is anchored on the diagonal "
+            "logit, which mismatched packings may hide.  Use "
+            "softmax_mode='auto' or 'online'.")
     want_static = softmax_mode == "static"
 
     q_group, k_group = quant_ops.QUANT_GRANULARITIES[qk_quant_gran]
@@ -204,7 +221,18 @@ def sageattn_varlen(
     import os as _os
     fuse_stats = _os.environ.get("SAGE_VARLEN_FUSED_STATS", "1") == "1"
     if use_fused and not fold_k:
-        if want_static and fuse_stats:
+        if fuse_qq:
+            # Q is quantized inside the attention kernel (per row); K keeps
+            # the fine per-row segment scales on the usual ks input, and the
+            # segmented capmax (scale-included) is all static mode needs.
+            res = qp.quant_int8_segmented_pallas(
+                kb, kv_seg, k_group, sub=km, with_capmax=want_static,
+                s_true=Tk, interpret=interpret)
+            k_i8, ks_row4 = res[0], res[1]
+            if want_static:
+                kn_max_raw = res[2]
+            q_i8 = q_srow4 = None
+        elif want_static and fuse_stats:
             k_i8, ks_row4, kn_max_raw = qp.quant_int8_segmented_pallas(
                 kb, kv_seg, k_group, sub=km, with_capmax=True, s_true=Tk,
                 interpret=interpret)
@@ -243,11 +271,15 @@ def sageattn_varlen(
             q_seg, kv_seg, attn_mask, qn2, diag_dot, kn_max_raw,
             softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
             block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
-            Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret)
+            Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
+            fuse_qq=fuse_qq)
 
-    q_i8, q_srow = quant_ops.quant_int8_groupwise_segmented(
-        qb, q_seg, q_group, fold=sm_scale * LOG2E)
-    q_scale = q_srow[..., None]                       # [1, Hq, Tq_pad, 1]
+    if fuse_qq and fold_k:
+        q_i8 = q_scale = None  # quantized inside the attention kernel
+    else:
+        q_i8, q_srow = quant_ops.quant_int8_groupwise_segmented(
+            qb, q_seg, q_group, fold=sm_scale * LOG2E)
+        q_scale = q_srow[..., None]                   # [1, Hq, Tq_pad, 1]
     kv_valid = (jnp.arange(Tk_pad) < Tk)[None, None, :, None]
     if fold_k:
         # Per-(head, SEGMENT) K scale: a whole-batch per-head scale would
@@ -268,7 +300,12 @@ def sageattn_varlen(
         sk_q = jnp.take(ks_row, starts, axis=2)                # [1,Hk,Tq_pad]
         if Hq != Hk:
             sk_q = jnp.repeat(sk_q, Hq // Hk, axis=1)
-        q_scale = q_scale * sk_q[..., None]
+        if fuse_qq:
+            # the per-row segment K scale travels to the kernel as the
+            # fuse_k_rows input; the in-kernel per-row Q scale multiplies it
+            k_row_scale = sk_q[..., None]             # [1, Hq, Tq_pad, 1]
+        else:
+            q_scale = q_scale * sk_q[..., None]
         k_scale = None
     else:
         k_i8, k_srow = quant_ops.quant_int8_groupwise_segmented(
@@ -301,18 +338,24 @@ def sageattn_varlen(
         q_seg, kv_seg, attn_mask, None, None, None,
         softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
         block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
-        Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret)
+        Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
+        fuse_qq=fuse_qq,
+        k_row_scale=k_row_scale if (fuse_qq and fold_k) else None)
 
 
 def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
                    km, q_seg, kv_seg, attn_mask, qn2, diag_dot, kn_max_raw,
                    softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
                    block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
-                   Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret):
+                   Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
+                   fuse_qq=False, k_row_scale=None):
     """Shared varlen tail: mask prep, static-softmax safety, kernel call,
     unpacking.  ``qn2``/``diag_dot``/``kn_max_raw`` are the fused quant
     kernels' safety statistics (row sq-norms, row diagonal dots, K-side
-    capmax); None means compute them here in jnp (interpret path)."""
+    capmax); None means compute them here in jnp (interpret path).
+    ``fuse_qq``: Q rides to the kernel unquantized (in-kernel per-row
+    quant) and static safety is the exact post-hoc lmin check;
+    ``k_row_scale`` is the per-Q-row folded segment K scale (fold_k)."""
     masked = "none"
     mask_in = None
     if attn_mask is not None:
@@ -336,11 +379,29 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
             fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
             softmax_mode=mode, emit_lse=return_lse,
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
+            fuse_q_quant=fuse_qq, fuse_k_rows=(fuse_qq and fold_k),
+            sm_scale=sm_scale,
+            q_len=(Tq if (fuse_qq and Tq_pad != Tq) else 0),
         )
 
     kn_max_in = None
     static_safe = None
-    if softmax_mode == "static":
+    if softmax_mode == "static" and fuse_qq:
+        # post-hoc exact safety (see core._sage_attention): only the K-side
+        # cap factor is needed.  fold_k: plain max||k8|| (the segment scale
+        # folds into the kernel's per-row scale); non-fold: scale-included
+        # (the segmented quant's capmax already is).
+        if kn_max_raw is not None:
+            kn_max_in = kn_max_raw                            # [1,Hk,1,1]
+        else:
+            kn = jnp.sqrt(jnp.sum(jnp.square(k_i8.astype(jnp.float32)),
+                                  axis=3))
+            kn = jnp.where((jnp.arange(Tk_pad) < Tk)[None, None, :], kn, 0.0)
+            kfac = kn if fold_k else kn * k_scale[:, :, 0, :]
+            kn_max_in = jnp.max(kfac, axis=2)[:, :, None, None]
+        if Hq != Hk:
+            kn_max_in = jnp.repeat(kn_max_in, Hq // Hk, axis=1)
+    elif softmax_mode == "static":
         if kn_max_raw is not None:
             # everything came out of the fused quant passes
             kn_max_in = kn_max_raw                            # [1,Hk,1,1]
@@ -382,15 +443,23 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
 
     def _call(mode):
         return attention_call(
-            q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
+            qb if fuse_qq else q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
             q_segments=q_seg[None, :, None],
             kv_segments=kv_seg[None, None, :],
             attn_mask=mask_in, v_mean=vm,
             kn_max=kn_max_in if mode == "static" else None,
+            k_head_scale=k_row_scale,
             cfg=_cfg(mode), interpret=interpret,
         )
 
-    if softmax_mode == "static":
+    if softmax_mode == "static" and fuse_qq:
+        # exact post-hoc underflow check (threshold rationale in
+        # core._sage_attention); unsafe packs rerun online via lax.cond
+        out_s, lse_s, lmin = _call("static")
+        static_safe = jnp.min(lmin) >= 2.0 ** -100
+        out, lse_b2 = jax.lax.cond(
+            static_safe, lambda: (out_s, lse_s), lambda: _call("online"))
+    elif softmax_mode == "static":
         out, lse_b2 = jax.lax.cond(
             static_safe, lambda: _call("static"), lambda: _call("online"))
     else:

@@ -253,3 +253,87 @@ class TestVarlenFusedPrep:
                                  pv_dtype="int8", compute_dtype="native",
                                  use_fused=True)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestVarlenFuseQQuant:
+    """r3 in-kernel Q quant on the varlen path: per-row scales are
+    segment-correct by construction, the Q-quant launch disappears, and
+    static safety is the exact post-hoc lmin check — valid for ANY
+    packing (the predictive diagonal anchor needed matching packings)."""
+
+    @pytest.mark.parametrize("comp", ["native", "bf16"])
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_oracle(self, comp, causal):
+        q, k, v, cu = packed([100, 300, 112], H=4, key=21)
+        out = sa.sageattn_varlen(q, k, v, cu, cu, is_causal=causal,
+                                 pv_dtype="int8", compute_dtype=comp,
+                                 use_fused=True)
+        assert calc_diff(out, dense_loop_oracle(q, k, v, cu, causal)) < 1.5e-3
+        # at least as accurate as the pre-quantized pipeline
+        pre = sa.sageattn_varlen(q, k, v, cu, cu, is_causal=causal,
+                                 pv_dtype="int8", compute_dtype=comp,
+                                 use_fused=True, fuse_q_quant=False)
+        d_f = calc_diff(out, dense_loop_oracle(q, k, v, cu, causal))
+        d_p = calc_diff(pre, dense_loop_oracle(q, k, v, cu, causal))
+        assert d_f < d_p * 1.5 + 1e-6
+
+    def test_mismatched_pack_static_allowed_and_exact(self):
+        # the post-hoc check makes static safe for mismatched packings —
+        # previously a loud ValueError
+        q, k, v, cu = packed([100, 156], key=22)
+        cu_k = jnp.array([0, 128, 256], jnp.int32)
+        out = sa.sageattn_varlen(q, k, v, cu, cu_k, softmax_mode="static",
+                                 pv_dtype="int8", compute_dtype="native",
+                                 use_fused=True)
+        bounds_q, bounds_k = np.asarray(cu), np.asarray(cu_k)
+        outs = []
+        for (a, b), (c, d) in zip(zip(bounds_q[:-1], bounds_q[1:]),
+                                  zip(bounds_k[:-1], bounds_k[1:])):
+            o = sdpa(jnp.swapaxes(q[a:b][None], 1, 2),
+                     jnp.swapaxes(k[c:d][None], 1, 2),
+                     jnp.swapaxes(v[c:d][None], 1, 2))
+            outs.append(jnp.swapaxes(o[0], 0, 1))
+        assert calc_diff(out, jnp.concatenate(outs, 0)) < 1e-3
+        # without the fused path it must still refuse
+        with pytest.raises(ValueError, match="packings"):
+            sa.sageattn_varlen(q, k, v, cu, cu_k, softmax_mode="static",
+                               pv_dtype="int8", compute_dtype="native",
+                               use_fused=False)
+
+    def test_underflow_pack_falls_back_online(self):
+        # x60 inputs: every logit sits thousands of log2-units below the
+        # Cauchy-Schwarz cap, so the kernel's min row denominator is 0 and
+        # the post-hoc check must rerun online.  Had static run unguarded,
+        # whole rows would collapse to ~0 and the oracle diff would be ~1.
+        # (No bitwise check vs direct online: the fallback branch keeps
+        # pv_via_bf16 P numerics by design — attention.py:110-113.)
+        q, k, v, cu = packed([100, 156], key=23)
+        q, k = q * 60.0, k * 60.0
+        out = sa.sageattn_varlen(q, k, v, cu, cu, softmax_mode="static",
+                                 pv_dtype="int8", compute_dtype="native",
+                                 use_fused=True)
+        ref = sa.sageattn_varlen(q, k, v, cu, cu, softmax_mode="online",
+                                 pv_dtype="int8", compute_dtype="native",
+                                 use_fused=True)
+        # extreme-magnitude int8 logits degrade ~1e-2 vs the oracle
+        # (inherent); both paths must agree with it and with each other
+        oracle = dense_loop_oracle(q, k, v, cu, False)
+        assert calc_diff(out, oracle) < 5e-2
+        assert calc_diff(ref, oracle) < 5e-2
+        assert calc_diff(out, ref) < 1e-2
+
+    def test_gqa_fold_rows(self):
+        # bf16-compute path: per-(head, segment) K scale rides the
+        # fuse_k_rows input, repeated across GQA groups
+        q, k, v, cu = packed([60, 196], H=4, key=24)
+        k, v = k[:, :2], v[:, :2]
+        out = sa.sageattn_varlen(q, k, v, cu, cu, pv_dtype="int8",
+                                 compute_dtype="bf16", use_fused=True)
+        outs = []
+        bounds = np.asarray(cu)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            o = sdpa(jnp.swapaxes(q[a:b][None], 1, 2),
+                     jnp.swapaxes(k[a:b][None], 1, 2),
+                     jnp.swapaxes(v[a:b][None], 1, 2))
+            outs.append(jnp.swapaxes(o[0], 0, 1))
+        assert calc_diff(out, jnp.concatenate(outs, 0)) < 1.5e-3

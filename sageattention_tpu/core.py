@@ -651,17 +651,33 @@ def _sage_attention(
     return out, _finish_lse(lse_b2, lse_correction, Sq)
 
 
+def _resolve_quant_bwd(quant_bwd, is_causal):
+    """Default for the SageBwd-class int8 backward (backward_pallas.py):
+    int8 where its quantization is amortized (the S-recompute; q/k codes
+    built once in the wrapper), measured per path on v5e (probe_qbwd.py):
+    non-causal 119.3 vs 115.3 TF-eff -> quantized; causal 70.8 vs 74.5
+    (per-tile dequant overhead outweighs the halved MXU work) -> bf16.
+    Explicit True/False overrides.  Gradient cossim of the quantized
+    path vs the exact f32 vjp is ~7e-5 (tests/test_backward_pallas.py)."""
+    if quant_bwd is None:
+        return not is_causal
+    return quant_bwd
+
+
 @functools.lru_cache(maxsize=256)
 def _diff_sage_factory(opts_items):
     """Build a custom-vjp attention fn for a fixed static config.
 
-    Forward: the quantized pipeline.  Backward: exact flash-attention
-    gradients from the saved (q, k, v, o, lse) — the straight-through
-    scheme of SageBwd (see ops/backward.py).  Quantization ops themselves
-    have no useful gradient, so the estimator is attached here, above them.
+    Forward: the quantized pipeline.  Backward: flash-attention gradients
+    from the saved (q, k, v, o, lse) — the straight-through scheme of
+    SageBwd (see ops/backward.py), by default with the int8 backward
+    kernels (``quant_backward``).  Quantization ops themselves have no
+    useful gradient, so the estimator is attached here, above them.
     """
     opts = dict(opts_items)
     layout_is_hnd = opts["tensor_layout"] == "HND"
+    quant_bwd = _resolve_quant_bwd(opts.pop("quant_backward", None),
+                                   opts["is_causal"])
 
     @jax.custom_vjp
     def f(q, k, v):
@@ -684,7 +700,8 @@ def _diff_sage_factory(opts_items):
             interp = dispatch.default_interpret()
         dq, dk, dv = attention_backward_pallas(
             q, k, v, o, lse, do, sm_scale=sm_scale,
-            is_causal=opts["is_causal"], interpret=interp)
+            is_causal=opts["is_causal"], quantized=quant_bwd,
+            interpret=interp)
         if not layout_is_hnd:
             dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
         return dq, dk, dv
@@ -702,6 +719,8 @@ def _diff_sage_masked_factory(opts_items):
     import numpy as np
     opts = dict(opts_items)
     layout_is_hnd = opts["tensor_layout"] == "HND"
+    quant_bwd = _resolve_quant_bwd(opts.pop("quant_backward", None),
+                                   opts["is_causal"])
 
     @jax.custom_vjp
     def f(q, k, v, mask):
@@ -726,7 +745,8 @@ def _diff_sage_masked_factory(opts_items):
             interp = dispatch.default_interpret()
         dq, dk, dv = attention_backward_pallas(
             q, k, v, o, lse, do, sm_scale=sm_scale,
-            is_causal=opts["is_causal"], attn_mask=mask, interpret=interp)
+            is_causal=opts["is_causal"], attn_mask=mask,
+            quantized=quant_bwd, interpret=interp)
         if not layout_is_hnd:
             dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
         # bool primal -> float0 cotangent
@@ -768,6 +788,8 @@ def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
       - return_lse        -> loudly non-differentiable (lse consumers —
                              ring attention — are inference-side)
     """
+    quant_bwd = opts.pop("quant_backward", None)   # factories only; the
+    # non-diff paths below never reach the backward kernels
     if return_lse:
         fn = _nondiff(
             lambda a, b, c: _sage_attention(
@@ -777,7 +799,8 @@ def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
         return fn(q, k, v)
     if attn_mask is not None:
         if attn_mask.dtype == jnp.bool_:
-            return _diff_sage_masked_factory(tuple(sorted(opts.items())))(
+            return _diff_sage_masked_factory(tuple(sorted(
+                (*opts.items(), ("quant_backward", quant_bwd)))))(
                 q, k, v, attn_mask)
         fn = _nondiff(
             lambda a, b, c, m: _sage_attention(
@@ -786,7 +809,7 @@ def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
             "(the bias gradient is O(S^2) to materialize); use a bool mask "
             "or the exact jax.nn.dot_product_attention for training")
         return fn(q, k, v, attn_mask)
-    return _dispatch_diff(q, k, v, **opts)
+    return _dispatch_diff(q, k, v, quant_backward=quant_bwd, **opts)
 
 
 def sageattn(
@@ -835,6 +858,7 @@ def sageattn(
         attn_mask=kwargs.pop("attn_mask", None),
         interpret=kwargs.pop("interpret", None),
         fuse_q_quant=kwargs.pop("fuse_q_quant", None),
+        quant_backward=kwargs.pop("quant_backward", None),
     )
 
 
@@ -860,6 +884,7 @@ def sageattn_qk_int8_pv_bf16(
         qk_quant_gran=qk_quant_gran, pv_dtype="bf16", return_lse=return_lse,
         attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
+        quant_backward=kwargs.pop("quant_backward", None),
     )
 
 
@@ -887,6 +912,7 @@ def sageattn_qk_int8_pv_int8(
         qk_quant_gran=qk_quant_gran, pv_dtype="int8", return_lse=return_lse,
         attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
+        quant_backward=kwargs.pop("quant_backward", None),
     )
 
 
@@ -912,6 +938,7 @@ def sageattn_qk_int8_pv_fp8(
         qk_quant_gran=qk_quant_gran, pv_dtype="fp8", return_lse=return_lse,
         attn_mask=attn_mask,
         interpret=kwargs.pop("interpret", None),
+        quant_backward=kwargs.pop("quant_backward", None),
     )
 
 

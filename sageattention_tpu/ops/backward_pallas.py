@@ -19,6 +19,30 @@ and jax's own flash backward — uses the same split):
 Both run in bf16 with fp32 accumulation and base-2 softmax (log2e folded
 into the lse operand).  GQA handled by computing per-q-head dK/dV and
 group-summing outside (simple, correct; G is small in practice).
+
+``quantized=True`` (r3) is the SageBwd-class training path (design source
+arXiv 2505.11594, which the reference library does not ship — it is
+inference-only), shaped by the measured v5e reality rather than the
+paper's 6-of-7-int8 recipe: an int8 matmul only wins when its operands'
+quantization is AMORTIZED outside the hot loop (the forward learned the
+same — int8 QK^T wins, per-tile P quant does not; docs/PERF_NOTES.md
+"int8 helps only QK^T").  So:
+
+  int8:  S-recompute in BOTH kernels — q/k are quantized ONCE in the
+         wrapper (per-ROW scales, sm_scale*log2e folded into the q codes
+         so s32*qs*ks IS the base-2 logit) and their codes are reused by
+         every tile; q/k HBM reads halve as a side effect.
+  bf16:  everything else.  dV/dK/dQ would need P / dS quantized per
+         tile — measured NET LOSS on v5e (probe_qbwd.py r3: all-int8
+         99.2 vs bf16 113.5 TF-eff; the per-tile amax/rint VPU chain
+         outweighs the 2x MXU rate).  dO V^T additionally feeds the
+         cancellation dS = P * (dO V^T - D_i), which SageBwd itself
+         keeps in high precision.
+
+The dV/dK/dQ dots consume q/k dequantized in-register ((BQ,D)/(BK,D)
+row-scale multiplies — O(S D) per tile, amortized over the (BQ,BK)
+work).  dK therefore carries the q codes' folded sm_scale*log2e, undone
+in the epilogue.
 """
 
 from __future__ import annotations
@@ -33,9 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
-def _dkv_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_q):
+def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_q):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
+    qs_ref = ks_ref = None
+    if quantized:
+        qs_ref, ks_ref = next(it), next(it)   # (BQ,1) rows, (1,BK) cols
     mask_ref = next(it) if masked else None
     dk_ref, dv_ref, dk_acc, dv_acc = (next(it) for _ in range(4))
     j = pl.program_id(2)   # kv block
@@ -52,16 +79,23 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_q):
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0]                      # (BQ, D) bf16
-        k = k_ref[0, 0]                      # (BK, D) bf16
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]                    # (BQ, D)
+        q = q_ref[0, 0]                      # (BQ, D) bf16 | int8
+        k = k_ref[0, 0]                      # (BK, D) bf16 | int8
+        v = v_ref[0, 0]                      # (BK, D) bf16
+        do = do_ref[0, 0]                    # (BQ, D) bf16
         lse2 = lse_ref[0, 0]                 # (BQ, 1) f32, base-2 (lse*log2e)
         di = di_ref[0, 0]                    # (BQ, 1) f32
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (sm_scale * LOG2E)
+        if quantized:
+            # int8 MXU recompute; q codes fold sm_scale*log2e, so
+            # s32*qs*ks is the base-2 logit directly
+            s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            s = s32.astype(jnp.float32) * qs_ref[0, 0] * ks_ref[0, 0]
+        else:
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)               # (BQ, BK)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
@@ -71,26 +105,42 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_q):
             # lse was computed WITH the mask in the forward; the recomputed
             # p must zero masked pairs or they'd leak spurious gradient
             p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
+        # dS = P * (dO V^T - D) — dO V^T stays bf16 (cancellation vs D_i)
+        dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        ds = p * (dov - di)
         pb = p.astype(jnp.bfloat16)
         # dV += P^T dO  (contract over q rows)
         dv_acc[...] += jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        # dS = P * (dO V^T - D)
-        dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        ds = (p * (dov - di)).astype(jnp.bfloat16)
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if quantized:
+            # dequant q in-register for the bf16 dK dot — (BQ,D) row-scale
+            # multiply, amortized over the (BQ,BK) tile work (per-tile
+            # quant of dS/P measured a net loss, module docstring)
+            qd = (q.astype(jnp.float32) * qs_ref[0, 0]).astype(jnp.bfloat16)
+        else:
+            qd = q
         dk_acc[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(jnp.bfloat16), qd, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(i == n_q - 1)
     def _():
-        dk_ref[0, 0] = (dk_acc[...] * sm_scale).astype(dk_ref.dtype)
+        # quantized: the q codes already carry sm_scale*log2e, undo log2e
+        fin = (1.0 / LOG2E) if quantized else sm_scale
+        dk_ref[0, 0] = (dk_acc[...] * fin).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_kv):
+def _dq_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_kv):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
+    qs_ref = ks_ref = ksr_ref = None
+    if quantized:
+        # (BQ,1) q-row scales, (1,BK) k-col scales (for s), (BK,1) k-row
+        # scales (for the in-register k dequant)
+        qs_ref, ks_ref, ksr_ref = next(it), next(it), next(it)
     mask_ref = next(it) if masked else None
     dq_ref, dq_acc = next(it), next(it)
     i = pl.program_id(2)   # q block
@@ -112,9 +162,14 @@ def _dq_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_kv):
         do = do_ref[0, 0]
         lse2 = lse_ref[0, 0]
         di = di_ref[0, 0]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (sm_scale * LOG2E)
+        if quantized:
+            s32 = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            s = s32.astype(jnp.float32) * qs_ref[0, 0] * ks_ref[0, 0]
+        else:
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
@@ -124,9 +179,18 @@ def _dq_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_kv):
             p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        ds = (p * (dov - di)).astype(jnp.bfloat16)
+        ds = p * (dov - di)
+        if quantized:
+            # dequant k in-register for the bf16 dQ dot; ks arrives as the
+            # per-COLUMN expansion (1,BK) — transpose-free row scaling of
+            # the (BK,D) k tile needs (BK,1), so the wrapper also threads
+            # the row expansion through ksr_ref
+            kd = (k.astype(jnp.float32) * ksr_ref[0, 0]).astype(jnp.bfloat16)
+        else:
+            kd = k
         dq_acc[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(jnp.bfloat16), kd, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(j == n_kv - 1)
     def _():
@@ -134,7 +198,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, BQ, BK, n_kv):
 
 
 def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
-                              attn_mask=None,
+                              attn_mask=None, quantized: bool = False,
                               block_q: int = 2048, block_k: int = 2048,
                               interpret: bool = False):
     # default blocks from the r2 TPU sweep: 2048x2048 = 117 TFLOPS-eff vs
@@ -144,6 +208,8 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     lse [B,Hq,Sq] natural-log (computed WITH ``attn_mask`` if given).
     ``attn_mask``: bool keep-mask [B, 1|Hq, Sq, Sk] (float bias is handled
     one level up — its own gradient would be O(S^2) to materialize).
+    ``quantized``: SageBwd-class int8 path (5 of 7 matmuls on the int8
+    MXU; module docstring has the precision split).
     Returns (dq, dk, dv) with GQA group-sum."""
     B, Hq, Sq, D = q.shape
     _, Hk, Sk, _ = k.shape
@@ -170,6 +236,37 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     Sqp, Skp = Sq + pad_q, Sk + pad_k
     n_q, n_kv = Sqp // BQ, Skp // BK
 
+    scale_in = []
+    scale_specs = lambda order: []  # noqa: E731
+    if quantized:
+        from . import quant as quant_ops
+        # fresh per-ROW quant of the SAVED tensors (independent of the
+        # forward's codes — the backward approximates the gradient of exact
+        # attention, SageBwd-style); fold makes s32*qs*ks the base-2 logit
+        q8, qs_g = quant_ops.quant_int8_groupwise(
+            qb, 1, fold=sm_scale * LOG2E)
+        k8, ks_g = quant_ops.quant_int8_groupwise(kb, 1)
+        qs_rows = quant_ops.expand_scales_rows(qs_g, 1, Sqp)
+        ks_cols = quant_ops.expand_scales_cols(ks_g, 1, Skp)
+        ks_rows = quant_ops.expand_scales_rows(ks_g, 1, Skp)
+        qb, kb = q8, k8
+        scale_in = [qs_rows, ks_cols]
+
+        def scale_specs(order):
+            # qs rides the q-block index, ks the kv-block index; the dq
+            # grid ("ij") also gets the k-row-scale expansion for the
+            # in-register k dequant
+            if order == "ji":
+                return [
+                    pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),
+                    pl.BlockSpec((1, 1, 1, BK), lambda b, h, j, i: (b, h, 0, j)),
+                ]
+            return [
+                pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, 1, BK), lambda b, h, i, j: (b, h, 0, j)),
+                pl.BlockSpec((1, 1, BK, 1), lambda b, h, i, j: (b, h, j, 0)),
+            ]
+
     mask_in = []
     if masked:
         Hm = attn_mask.shape[1]
@@ -189,7 +286,8 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=is_causal,
-                          masked=masked, BQ=BQ, BK=BK, n_q=n_q),
+                          masked=masked, quantized=quantized,
+                          BQ=BQ, BK=BK, n_q=n_q),
         grid=(B, Hq, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # q
@@ -198,7 +296,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # do
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # lse
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # di
-        ] + ([mask_spec("ji")] if masked else []),
+        ] + scale_specs("ji") + ([mask_spec("ji")] if masked else []),
         out_specs=(
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
@@ -213,11 +311,12 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse2, di, *mask_in)
+    )(qb, kb, vb, dob, lse2, di, *scale_in, *mask_in)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, causal=is_causal,
-                          masked=masked, BQ=BQ, BK=BK, n_kv=n_kv),
+                          masked=masked, quantized=quantized,
+                          BQ=BQ, BK=BK, n_kv=n_kv),
         grid=(B, Hq, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
@@ -226,7 +325,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
-        ] + ([mask_spec("ij")] if masked else []),
+        ] + scale_specs("ij") + ([mask_spec("ij")] if masked else []),
         out_specs=pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), jnp.float32),
         scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
@@ -234,7 +333,8 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse2, di, *mask_in)
+    )(qb, kb, vb, dob, lse2, di,
+      *(scale_in + [ks_rows] if quantized else []), *mask_in)
 
     dq = dq[:, :, :Sq].astype(q.dtype)
     dk = dk[:, :, :Sk]

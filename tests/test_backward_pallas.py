@@ -68,4 +68,83 @@ def test_grads_vs_autodiff_oracle():
     fr = lambda q, k, v: jnp.sum(sdpa(q, k, v) ** 2)
     g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
-    assert_close(g, gr, tol=5e-2)
+    assert_close(g, gr, tol=6e-2)
+
+
+class TestQuantizedBackward:
+    """SageBwd-class int8 backward (r3): 5 of 7 matmuls int8 via the
+    scale-absorption scheme (backward_pallas.py docstring); dO V^T stays
+    bf16.  Gradient cossim vs the exact f32 vjp must stay ~1e-3-class."""
+
+    def cosdiff(self, a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return 1 - 2 * (a @ b) / ((a @ a) + (b @ b) + 1e-30)
+
+    @pytest.mark.parametrize("causal", [False, True], ids=["full", "causal"])
+    def test_matches_exact_vjp(self, causal):
+        q, k, v, o, lse, do = setup(Sq=384, Sk=384, causal=causal)
+        sm = q.shape[-1] ** -0.5
+
+        def exact(q, k, v):
+            s = jnp.einsum("bhid,bhjd->bhij", q, k) * sm
+            if causal:
+                S = s.shape[-1]
+                s = jnp.where(jnp.tril(jnp.ones((S, S), bool)), s, -jnp.inf)
+            return jnp.einsum("bhij,bhjd->bhid",
+                              jax.nn.softmax(s, axis=-1), v)
+
+        _, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        got = attention_backward_pallas(q, k, v, o, lse, do, sm_scale=sm,
+                                        is_causal=causal, quantized=True,
+                                        block_q=128, block_k=128,
+                                        interpret=True)
+        for a, b, n in zip(got, ref, "qkv"):
+            assert self.cosdiff(a, b) < 1.5e-3, f"d{n}"
+        assert_close(got, ref, tol=6e-2)
+
+    def test_gqa_masked(self):
+        q, k, v, o, lse, do = setup(Hq=4, Hk=2)
+        sm = q.shape[-1] ** -0.5
+        mask = jax.random.bernoulli(jax.random.PRNGKey(9), 0.85,
+                                    (1, 1, q.shape[2], k.shape[2]))
+        kr, vr = (jnp.repeat(x, 2, axis=1) for x in (k, v))
+        s = jnp.einsum("bhid,bhjd->bhij", q, kr) * sm
+        s = jnp.where(mask, s, -jnp.inf)
+        lse = jax.nn.logsumexp(s, axis=-1)
+
+        def exact(q, k, v):
+            kk, vv = (jnp.repeat(x, 2, axis=1) for x in (k, v))
+            s = jnp.einsum("bhid,bhjd->bhij", q, kk) * sm
+            s = jnp.where(mask, s, -jnp.inf)
+            return jnp.einsum("bhij,bhjd->bhid",
+                              jax.nn.softmax(s, axis=-1), vv)
+
+        o, vjp = jax.vjp(exact, q, k, v)
+        ref = vjp(do)
+        got = attention_backward_pallas(q, k, v, o, lse, do, sm_scale=sm,
+                                        is_causal=False, attn_mask=mask,
+                                        quantized=True, block_q=128,
+                                        block_k=128, interpret=True)
+        for a, b, n in zip(got, ref, "qkv"):
+            assert self.cosdiff(a, b) < 1.5e-3, f"d{n}"
+
+    def test_api_opt_out_matches_bf16(self):
+        """quant_backward=False must reproduce the exact-math backward."""
+        import sageattention_tpu as sa
+        q, k, v, *_ = setup(Sq=256, Sk=256)
+        g_q = jax.grad(lambda q, k, v: jnp.sum(
+            sa.sageattn_qk_int8_pv_bf16(q, k, v) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        g_e = jax.grad(lambda q, k, v: jnp.sum(
+            sa.sageattn_qk_int8_pv_bf16(q, k, v, quant_backward=False) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(lambda q, k, v: jnp.sum(sdpa(q, k, v) ** 2),
+                      argnums=(0, 1, 2))(q, k, v)
+        # default (quantized) and opt-out (bf16) both track the oracle;
+        # the opt-out must be the tighter of the two
+        assert_close(g_q, gr, tol=6e-2)
+        assert_close(g_e, gr, tol=3e-2)
+        for a, b in zip(g_q, g_e):
+            assert float(jnp.max(jnp.abs(a - b))) > 0.0  # paths differ

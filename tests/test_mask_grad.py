@@ -88,7 +88,11 @@ class TestGradients:
         gr = jax.grad(loss(sdpa), argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g, gr):
             rel = np.abs(np.asarray(a) - np.asarray(b)).max() / np.abs(np.asarray(b)).max()
-            assert rel < 0.03
+            # 0.06 with the r3 int8-backward default (max-rel is an
+            # outlier metric; gradient cossim stays ~1e-3-class — see
+            # test_backward_pallas.TestQuantizedBackward, and
+            # quant_backward=False restores the exact-math path at 0.03)
+            assert rel < 0.06
 
     def test_causal_grads(self):
         q, k, v = qkv()

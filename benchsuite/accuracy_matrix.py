@@ -154,6 +154,26 @@ def main():
     print(f"{'varlen causal 3-seq':<52} diff={d:.2e}  bar=1e-03  "
           f"{'OK' if ok else 'FAIL'}", flush=True)
 
+    # 5b. r3 fuse_q_quant varlen: static softmax on MISMATCHED packings
+    # (exact post-hoc lmin safety — the predictive bound had to refuse)
+    cuq = jnp.array([0, 1800, 2800, T], jnp.int32)
+    cuk = jnp.array([0, 1024, 2048, T], jnp.int32)
+    ov = sa.sageattn_varlen(qp, kp, vp, cuq, cuk, 1800, 2048,
+                            softmax_mode="static")
+    refs = []
+    for i in range(3):
+        a, b = int(cuq[i]), int(cuq[i + 1])
+        c, e = int(cuk[i]), int(cuk[i + 1])
+        refs.append(sdpa(qp[None, a:b].swapaxes(1, 2),
+                         kp[None, c:e].swapaxes(1, 2),
+                         vp[None, c:e].swapaxes(1, 2))[0].swapaxes(0, 1))
+    d = float(calc_diff(ov, jnp.concatenate(refs, 0)))
+    ok = d < 1e-3
+    if not ok:
+        FAILS.append("varlen-mismatch-static")
+    print(f"{'varlen mismatched packs, static (post-hoc)':<52} "
+          f"diff={d:.2e}  bar=1e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
     print(f"MATRIX {'PASS' if not FAILS else 'FAIL: ' + ', '.join(FAILS)}",
           flush=True)
     return 1 if FAILS else 0

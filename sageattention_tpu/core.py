@@ -267,18 +267,25 @@ def _sage_attention(
         k_scale_mode = "head"
     if k_scale_mode not in ("head", "fine"):
         raise ValueError(f"k_scale_mode must be 'fine' or 'head', got {k_scale_mode!r}")
-    # In-kernel Q quantization (r3): on the fused head-mode dense path the
+    # In-kernel Q quantization (r3): on the fused head-mode path the
     # attention kernel reads bf16 Q and quantizes it per row at j == 0 (the
     # Q tile is resident exactly once) — the standalone Q-quant launch and
     # the host-side static-safety prediction both disappear (safety becomes
-    # an exact post-hoc check on the kernel's min row denominator).
-    fuse_qq = (use_fused and not nhd_direct and masked == "none"
+    # an exact post-hoc check on the kernel's min row denominator).  Masked
+    # paths ride it too (r3 extension): masks apply to s after the dot, and
+    # the post-hoc check stays exact where the predictive cap bound was
+    # blind (mask-hidden visible maxima, float biases).
+    fuse_qq = (use_fused and not nhd_direct
                and k_scale_mode == "head"
                and jnp.issubdtype(q.dtype, jnp.floating)
                and fuse_q_quant is not False)
     if fuse_q_quant and not fuse_qq:
         raise ValueError("fuse_q_quant=True requires the fused head-mode "
-                         "dense unmasked path with float inputs")
+                         "path with float inputs")
+    if softmax_mode == "static" and masked == "float" and not fuse_qq:
+        # the predictive cap is not an upper bound once an additive bias
+        # lands on s; only the fused post-hoc check covers it exactly
+        softmax_mode = "online"
     if not use_fused:
         kvw = kv_valid_in if kv_valid_in is not None else 1.0
         if k_scale_mode == "head":

@@ -664,8 +664,13 @@ def attention_call(
         assert cfg.pv_dtype in ("bf16", "int8"), cfg.pv_dtype
     if cfg.fuse_q_quant:
         assert cfg.quantized, "fuse_q_quant needs the quantized path"
-        assert cfg.masked == "none", \
-            "fuse_q_quant covers the unmasked (dense or segmented) path"
+        # masked paths are fine: the j == 0 quant step reads only the Q
+        # tile (whose spec is never remapped by the bool-mask DMA tables),
+        # and masks apply to s AFTER the quantized dot.  Under static mode
+        # the post-hoc lmin check measures the ACTUAL denominators, so it
+        # remains exact with bool masks and even float biases (a fully
+        # masked row reads l = 0 and falls back online — correct, but
+        # such workloads should prefer softmax_mode="online").
         assert (k_head_scale is not None) == cfg.fold_k_scale, \
             "k_head_scale iff fold_k_scale under fuse_q_quant"
         assert jnp.issubdtype(q.dtype, jnp.floating), q.dtype
@@ -675,8 +680,14 @@ def attention_call(
         assert kn_max is not None, "softmax_mode='static' needs kn_max"
         assert cfg.pv_dtype != "fp8", \
             "static softmax is bf16-P (fp8 P needs the online exp-offset)"
-        assert cfg.masked != "float", \
-            "static softmax bound does not cover additive float bias"
+        # A float bias breaks the PREDICTIVE cap (C no longer upper-bounds
+        # s + bias) but not the algebra: static softmax is exact for ANY
+        # shift C provided nothing under/overflows, and the fused post-hoc
+        # lmin check measures the actual denominators (bias included) —
+        # underflow is caught exactly, and overflow needs a bias beyond
+        # ~127 log2 units (p <= exp2(bias_max), f32 headroom).
+        assert cfg.masked != "float" or cfg.fuse_q_quant, \
+            "static + float bias needs the fused post-hoc safety check"
         assert not cfg.p_sim_fp4, "fp4 P simulation needs the online row max"
     n_q, n_kv = Sq // BQ, Sk // BK
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")

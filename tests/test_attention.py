@@ -324,11 +324,46 @@ class TestFuseQQuant:
     def test_explicit_flag_rejected_off_path(self):
         from sageattention_tpu.core import _sage_attention
         q, k, v = qkv(B=1, H=2, S=256, D=64)
-        mask = jnp.ones((1, 1, 256, 256), jnp.bool_)
         with pytest.raises(ValueError):
-            _sage_attention(q, k, v, pv_dtype="int8", use_fused=True,
-                            attn_mask=mask, interpret=True,
-                            fuse_q_quant=True)
+            # the jnp prep pipeline cannot quantize in-kernel
+            _sage_attention(q, k, v, pv_dtype="int8", use_fused=False,
+                            interpret=True, fuse_q_quant=True)
+
+    @pytest.mark.parametrize("static", [True, False])
+    def test_bool_mask(self, static):
+        """r3 extension: masked paths ride fuse_qq; under static mode the
+        post-hoc lmin check stays exact where the predictive cap was blind
+        (a mask can hide the visible row max)."""
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=300, D=64)
+        mask = jax.random.bernoulli(jax.random.PRNGKey(5), 0.85,
+                                    (1, 1, 300, 300))
+        out = _sage_attention(
+            q, k, v, pv_dtype="int8", k_scale_mode="head", use_fused=True,
+            attn_mask=mask, interpret=True, fuse_q_quant=True,
+            softmax_mode="static" if static else "online")
+        assert calc_diff(out, sdpa(q, k, v, mask=mask)) < 1.5e-3
+
+    def test_float_bias_static_post_hoc(self):
+        """Float additive bias + explicit static: only legal through the
+        fused post-hoc path (the predictive cap is not an upper bound once
+        a bias lands on s; non-fused forces online)."""
+        from sageattention_tpu.core import _sage_attention
+        q, k, v = qkv(B=1, H=2, S=256, D=64)
+        bias = (jax.random.normal(jax.random.PRNGKey(6), (1, 1, 256, 256))
+                * 2.0).astype(jnp.float32)
+        out = _sage_attention(
+            q, k, v, pv_dtype="int8", k_scale_mode="head", use_fused=True,
+            attn_mask=bias, interpret=True, fuse_q_quant=True,
+            softmax_mode="static")
+        ref = sdpa(q, k, v, mask=bias)
+        assert calc_diff(out, ref) < 1.5e-3
+        # non-fused explicit static quietly runs online (cap can't bound
+        # the bias) and must also be correct
+        out2 = _sage_attention(
+            q, k, v, pv_dtype="int8", k_scale_mode="head", use_fused=False,
+            attn_mask=bias, interpret=True, softmax_mode="static")
+        assert calc_diff(out2, ref) < 1.5e-3
 
 
 class TestKvTruePrePadded:

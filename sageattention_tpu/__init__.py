@@ -18,6 +18,13 @@ from .core import (
     flash_attention,
 )
 from .varlen import sageattn_varlen
+from .decode import (
+    KVCache,
+    kv_cache_init,
+    kv_cache_append,
+    sageattn_decode,
+    decode_bucket,
+)
 from .dispatch import detect as detect_tpu
 from .ops.lowbit import sageattn3, sageattn3_blackwell, sageattn3_tiled
 
@@ -34,6 +41,11 @@ __all__ = [
     "sageattn_qk_int8_pv_fp8_cuda",
     "sageattn_qk_int8_pv_fp8_cuda_sm90",
     "flash_attention",
+    "KVCache",
+    "kv_cache_init",
+    "kv_cache_append",
+    "sageattn_decode",
+    "decode_bucket",
     "detect_tpu",
     "sageattn3",
     "sageattn3_blackwell",

@@ -32,12 +32,13 @@ class LlamaConfig:
         return self.hidden // self.heads
 
 
-def rope(x, theta: float = 10000.0):
-    """Rotary embedding over NHD [B, S, H, D]."""
+def rope(x, theta: float = 10000.0, pos=0):
+    """Rotary embedding over NHD [B, S, H, D]; ``pos`` offsets the
+    positions (decode steps: the token's global index, traced OK)."""
     B, S, H, D = x.shape
     half = D // 2
     freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    ang = jnp.arange(S, dtype=jnp.float32)[:, None] * freqs[None]
+    ang = ((jnp.arange(S, dtype=jnp.float32) + pos)[:, None] * freqs[None])
     cos = jnp.cos(ang)[None, :, None, :]
     sin = jnp.sin(ang)[None, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
@@ -56,11 +57,25 @@ class RMSNorm(nn.Module):
 
 
 class LlamaBlock(nn.Module):
+    """Decoder block.  Three attention modes (same params, so a model can
+    prefill once and decode forever):
+
+    - ``cache=None, max_len=0``: plain causal prefill (original behavior).
+    - ``cache=None, max_len>0``: prefill AND build an int8 KV cache
+      (`decode.kv_cache_init` on the post-RoPE K/V) — returns (x, cache).
+    - ``cache=KVCache``: decode ``S`` new tokens at global positions
+      ``pos .. pos+S-1``: append their K/V, run `decode.sageattn_decode`
+      over the grown cache — returns (x, cache).
+    """
+
     cfg: LlamaConfig
     attn_fn: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, cache=None, pos=0, max_len: int = 0,
+                 bucket: int = 0):
+        from .. import decode as dec
+
         cfg = self.cfg
         B, S, _ = x.shape
         h = RMSNorm(cfg.dtype)(x)
@@ -69,11 +84,21 @@ class LlamaBlock(nn.Module):
                      dtype=cfg.dtype, name="wk")(h)
         v = nn.Dense(cfg.kv_heads * cfg.head_dim, use_bias=False,
                      dtype=cfg.dtype, name="wv")(h)
-        q = rope(q.reshape(B, S, cfg.heads, cfg.head_dim), cfg.rope_theta)
-        k = rope(k.reshape(B, S, cfg.kv_heads, cfg.head_dim), cfg.rope_theta)
+        q = rope(q.reshape(B, S, cfg.heads, cfg.head_dim), cfg.rope_theta,
+                 pos=pos)
+        k = rope(k.reshape(B, S, cfg.kv_heads, cfg.head_dim), cfg.rope_theta,
+                 pos=pos)
         v = v.reshape(B, S, cfg.kv_heads, cfg.head_dim)
-        attn = self.attn_fn or jax.nn.dot_product_attention
-        o = attn(q, k, v, is_causal=True)
+        if cache is not None:
+            cache = dec.kv_cache_append(cache, k, v, tensor_layout="NHD")
+            o = dec.sageattn_decode(q, cache, tensor_layout="NHD",
+                                    bucket=bucket)
+        else:
+            attn = self.attn_fn or jax.nn.dot_product_attention
+            o = attn(q, k, v, is_causal=True)
+            if max_len:
+                cache = dec.kv_cache_init(k, v, max_len,
+                                          tensor_layout="NHD")
         o = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype,
                      name="wo")(o.reshape(B, S, cfg.hidden).astype(cfg.dtype))
         x = x + o
@@ -83,19 +108,38 @@ class LlamaBlock(nn.Module):
         up = nn.Dense(inner, use_bias=False, dtype=cfg.dtype)(h)
         down = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype)(
             nn.silu(gate) * up)
-        return x + down
+        x = x + down
+        if max_len or (cache is not None):
+            return x, cache
+        return x
 
 
 class LlamaLM(nn.Module):
+    """``__call__(tokens)`` -> logits (prefill, original behavior).
+    ``max_len>0`` -> (logits, caches tuple) for subsequent decode calls;
+    ``caches=...`` -> decode the new tokens against/into the caches and
+    return (logits, caches)."""
+
     cfg: LlamaConfig
     attn_fn: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, tokens):
+    def __call__(self, tokens, caches=None, pos=0, max_len: int = 0,
+                 bucket: int = 0):
         cfg = self.cfg
         x = nn.Embed(cfg.vocab, cfg.hidden, dtype=cfg.dtype)(tokens)
+        new_caches = []
         for i in range(cfg.depth):
-            x = LlamaBlock(cfg, self.attn_fn, name=f"layer_{i}")(x)
+            blk = LlamaBlock(cfg, self.attn_fn, name=f"layer_{i}")
+            if max_len or caches is not None:
+                x, c = blk(x, cache=None if caches is None else caches[i],
+                           pos=pos, max_len=max_len, bucket=bucket)
+                new_caches.append(c)
+            else:
+                x = blk(x)
         x = RMSNorm(cfg.dtype)(x)
-        return nn.Dense(cfg.vocab, use_bias=False, dtype=cfg.dtype,
-                        name="lm_head")(x)
+        logits = nn.Dense(cfg.vocab, use_bias=False, dtype=cfg.dtype,
+                          name="lm_head")(x)
+        if new_caches:
+            return logits, tuple(new_caches)
+        return logits

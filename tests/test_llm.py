@@ -34,3 +34,36 @@ def test_llm_loss_and_grads():
     assert np.isfinite(float(val))
     assert all(bool(jnp.all(jnp.isfinite(g)))
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_llm_cached_decode_matches_full_forward():
+    """Prefill-with-cache then token-by-token decode must reproduce the
+    full no-cache forward's logits (int8 cache tolerance)."""
+    S0, T = 120, 3
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (1, S0 + T), 0,
+                                CFG.vocab)
+    model = LlamaLM(CFG)
+    params = model.init(jax.random.PRNGKey(5), tokens[:, :S0])
+    full = model.apply(params, tokens)
+
+    logits, caches = model.apply(params, tokens[:, :S0], max_len=256)
+    assert calc_diff(logits, full[:, :S0]) < 1e-6  # prefill math unchanged
+    for t in range(T):
+        step, caches = model.apply(
+            params, tokens[:, S0 + t: S0 + t + 1], caches=caches, pos=S0 + t)
+        assert calc_diff(step[:, 0], full[:, S0 + t]) < 2e-3
+    assert int(caches[0].length) == S0 + T
+
+
+def test_llm_cached_decode_multi_token():
+    """A T>1 decode window (chunked prefill continuation) matches the full
+    forward for every position in the window."""
+    S0, T = 100, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(6), (1, S0 + T), 0,
+                                CFG.vocab)
+    model = LlamaLM(CFG)
+    params = model.init(jax.random.PRNGKey(7), tokens[:, :S0])
+    full = model.apply(params, tokens)
+    _, caches = model.apply(params, tokens[:, :S0], max_len=256)
+    step, caches = model.apply(params, tokens[:, S0:], caches=caches, pos=S0)
+    assert calc_diff(step, full[:, S0:]) < 2e-3

@@ -25,6 +25,15 @@ from .decode import (
     sageattn_decode,
     decode_bucket,
 )
+from .paged import (
+    PagedKVCache,
+    PageAllocator,
+    build_table,
+    paged_prefill,
+    paged_append,
+    pages_bucket_for,
+    sageattn_decode_paged,
+)
 from .dispatch import detect as detect_tpu
 from .ops.lowbit import sageattn3, sageattn3_blackwell, sageattn3_tiled
 
@@ -46,6 +55,13 @@ __all__ = [
     "kv_cache_append",
     "sageattn_decode",
     "decode_bucket",
+    "PagedKVCache",
+    "PageAllocator",
+    "build_table",
+    "paged_prefill",
+    "paged_append",
+    "pages_bucket_for",
+    "sageattn_decode_paged",
     "detect_tpu",
     "sageattn3",
     "sageattn3_blackwell",

@@ -1,0 +1,353 @@
+"""Paged int8 KV cache: pooled pages + per-sequence block tables (serving).
+
+The dense `decode.KVCache` preallocates one contiguous buffer per sequence
+and shares a single length across the batch; real serving wants neither —
+sequences arrive and finish independently, memory should be pooled, and a
+common prompt prefix should be stored once.  This module provides the
+vLLM-style answer on TPU: a page pool, per-sequence block tables, ragged
+per-sequence lengths, and prefix sharing, with the table driving the
+kernel's DMA schedule directly (`ops/paged_decode.py`).
+
+Beyond the reference's scope (thu-ml/SageAttention is prefill-only,
+`/root/reference/sageattention/core.py`); quantization choices mirror
+`decode.py` with one structural difference: **centering and V scales are
+pool-global** (per KV head/channel, not per sequence).  Pages are
+sequence-agnostic objects — a page quantized under sequence-local stats
+could not be shared, and mixing pages with different K means would break
+the softmax shift-invariance that makes fixed centering exact.  Global
+stats lose a little granularity vs the dense cache; per-token K scales
+(exact for any append) carry the accuracy.
+
+Typical flow::
+
+    alloc = PageAllocator(num_pages=4096, page_size=256)
+    table = np.stack([alloc.reserve(n_pages_for(seq)) for seq in batch])
+    cache = paged_prefill(k, v, lengths, table, num_pages=4096)
+    ...
+    cache = paged_append(cache, k_new, v_new)        # one token per seq
+    out = sageattn_decode_paged(q, cache, pages_bucket=...)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dispatch
+from .ops.attention import LOG2E
+from .ops.paged_decode import _TQ, paged_decode_call
+from .utils.layout import get_layout, round_up
+
+_PAGE_DEFAULT = 256
+
+
+class PagedKVCache(NamedTuple):
+    """Pooled paged cache (a pytree — jit/donate friendly).
+
+    ``page_table[b, j]`` is the physical page holding tokens
+    ``j*page .. (j+1)*page-1`` of sequence ``b``; slots past the sequence's
+    last live page are ignored (the decode wrapper clamps them for DMA
+    reuse).  Rows of different sequences may reference the same physical
+    page (shared prefix) — all stats are pool-global, so shared pages are
+    exact for every reader.
+    """
+
+    k8_pool: jax.Array     # [P, Hk, page, D] int8 (centered by k_mean)
+    ks_pool: jax.Array     # [P, Hk, 1, page] f32 per-token scales
+    v_pool: jax.Array      # [P, Hk, page, D] int8 (centered) or bf16
+    v_scale: jax.Array     # [1, Hk, 1, D] f32 (ones when V is bf16)
+    v_mean: jax.Array      # [1, Hk, 1, D] f32
+    k_mean: jax.Array      # [1, Hk, 1, D] f32
+    page_table: jax.Array  # [B, max_pages] int32
+    lengths: jax.Array     # [B] int32
+
+    @property
+    def page_size(self) -> int:
+        return self.k8_pool.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k8_pool.shape[0]
+
+    @property
+    def v_int8(self) -> bool:
+        return self.v_pool.dtype == jnp.int8
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (numpy; never traced).
+
+    The cache pytree stays device-side and jit-friendly; which physical
+    pages a sequence owns is a host scheduling decision, exactly as in
+    CPU-side serving engines.  ``reserve`` hands out pages, ``release``
+    returns them (refcounted so shared prefixes free correctly).
+    """
+
+    def __init__(self, num_pages: int, page_size: int = _PAGE_DEFAULT):
+        self.page_size = page_size
+        self._free = list(range(num_pages - 1, -1, -1))
+        self._refs = np.zeros(num_pages, np.int32)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def reserve(self, n: int) -> list[int]:
+        if n > len(self._free):
+            raise MemoryError(f"page pool exhausted: need {n}, "
+                              f"have {len(self._free)}")
+        pages = [self._free.pop() for _ in range(n)]
+        self._refs[pages] += 1
+        return pages
+
+    def share(self, pages: Sequence[int]) -> list[int]:
+        """Add a reference to already-reserved pages (prefix sharing)."""
+        self._refs[list(pages)] += 1
+        return list(pages)
+
+    def release(self, pages: Sequence[int]) -> None:
+        for p in pages:
+            self._refs[p] -= 1
+            if self._refs[p] == 0:
+                self._free.append(p)
+            elif self._refs[p] < 0:
+                raise ValueError(f"double release of page {p}")
+
+    def pages_for(self, length: int) -> int:
+        return -(-max(length, 1) // self.page_size)
+
+
+def build_table(rows: Sequence[Sequence[int]], max_pages: int) -> np.ndarray:
+    """Pad per-sequence page lists into the rectangular [B, max_pages]
+    table (pad value 0 — dead slots are clamped before the kernel sees
+    them, so any valid page id works)."""
+    table = np.zeros((len(rows), max_pages), np.int32)
+    for b, r in enumerate(rows):
+        if len(r) > max_pages:
+            raise ValueError(f"sequence {b} needs {len(r)} pages > "
+                             f"max_pages {max_pages}")
+        table[b, :len(r)] = r
+    return table
+
+
+def _masked_mean(x, lengths):
+    """Mean over each sequence's true tokens, pooled across the batch:
+    [B, Hk, S, D] -> [1, Hk, 1, D]."""
+    B, Hk, S, D = x.shape
+    valid = (jnp.arange(S)[None, :, None] < lengths[:, None, None]
+             )[:, None]                                     # [B,1,S,1]
+    total = jnp.sum(jnp.where(valid, x, 0.0), axis=(0, 2), keepdims=True)
+    count = jnp.maximum(jnp.sum(lengths), 1).astype(jnp.float32)
+    return (total / count)[0:1]                             # [1,Hk,1,D]
+
+
+def paged_prefill(
+    k,
+    v,
+    lengths,
+    page_table,
+    *,
+    num_pages: int,
+    page_size: int = _PAGE_DEFAULT,
+    tensor_layout: str = "HND",
+    smooth_k: bool = True,
+    smooth_v: bool = True,
+    v_quant: bool = True,
+    v_margin: float = 1.25,
+) -> PagedKVCache:
+    """Quantize a ragged prefill batch into a fresh page pool.
+
+    ``k``/``v``: [B, Hk, S_pad, D] (HND) with per-sequence true lengths in
+    ``lengths`` (pad tokens are ignored for stats and masked at decode);
+    ``page_table``: [B, max_pages] int (from :class:`PageAllocator` /
+    :func:`build_table`).  S_pad must be a multiple of the page size
+    implied by ``page_table``'s pool geometry — pass page-aligned padding.
+
+    Only pages listed in the table are written; the rest of the pool stays
+    zero (callers growing a pool incrementally should scatter into an
+    existing cache via :func:`paged_append` instead).
+    """
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+    B, Hk, S, D = k.shape
+    page_table = jnp.asarray(page_table, jnp.int32)
+    max_pages = page_table.shape[1]
+    page = page_size
+    if S % page:
+        raise ValueError(f"prefill length {S} must be page-aligned "
+                         f"({page}); pad the input")
+    n_seq_pages = S // page
+    if n_seq_pages > max_pages:
+        raise ValueError(f"{n_seq_pages} prefill pages > max_pages "
+                         f"{max_pages}")
+    lengths = jnp.asarray(lengths, jnp.int32)
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    km = (_masked_mean(kf, lengths) if smooth_k
+          else jnp.zeros((1, Hk, 1, D), jnp.float32))
+    vm = (_masked_mean(vf, lengths) if smooth_v
+          else jnp.zeros((1, Hk, 1, D), jnp.float32))
+
+    valid = (jnp.arange(S)[None, :, None] < lengths[:, None, None])[:, None]
+    kc = jnp.where(valid, kf - km, 0.0)
+    a = jnp.max(jnp.abs(kc), axis=-1, keepdims=True)       # [B,Hk,S,1]
+    ks = jnp.where(a > 1e-8, a * (1.0 / 127.0), 1.0)
+    k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
+
+    vc = jnp.where(valid, vf - vm, 0.0)
+    if v_quant:
+        av = jnp.max(jnp.abs(vc), axis=(0, 2), keepdims=True)  # [1,Hk,1,D]
+        vs = jnp.where(av > 1e-8, av * (v_margin / 127.0), 1.0)
+        vq = jnp.clip(jnp.rint(vc / vs), -127, 127).astype(jnp.int8)
+    else:
+        vs = jnp.ones((1, Hk, 1, D), jnp.float32)
+        vq = vc.astype(jnp.bfloat16)
+
+    # scatter the sequences' pages into the pool: [B*n, Hk, page, D]
+    phys = page_table[:, :n_seq_pages].reshape(-1)          # [B*n]
+    k_pages = k8.reshape(B, Hk, n_seq_pages, page, D)
+    k_pages = jnp.moveaxis(k_pages, 2, 1).reshape(-1, Hk, page, D)
+    v_pages = vq.reshape(B, Hk, n_seq_pages, page, D)
+    v_pages = jnp.moveaxis(v_pages, 2, 1).reshape(-1, Hk, page, D)
+    ks_rows = jnp.swapaxes(ks, 2, 3)                        # [B,Hk,1,S]
+    ks_pages = ks_rows.reshape(B, Hk, 1, n_seq_pages, page)
+    ks_pages = jnp.moveaxis(ks_pages, 3, 1).reshape(-1, Hk, 1, page)
+
+    k8_pool = jnp.zeros((num_pages, Hk, page, D), jnp.int8
+                        ).at[phys].set(k_pages)
+    ks_pool = jnp.ones((num_pages, Hk, 1, page), jnp.float32
+                       ).at[phys].set(ks_pages)
+    v_pool = jnp.zeros((num_pages, Hk, page, D), vq.dtype
+                       ).at[phys].set(v_pages)
+    return PagedKVCache(k8_pool, ks_pool, v_pool, vs, vm, km,
+                        page_table, lengths)
+
+
+def paged_append(cache: PagedKVCache, k_new, v_new,
+                 *, tensor_layout: str = "HND") -> PagedKVCache:
+    """Quantize ``T`` new tokens per sequence (with the pool's fixed stats)
+    and write each at its sequence's own ``lengths[b] + t`` — ragged-batch
+    append.  The block table must already cover the grown length (reserve
+    pages on the host before the jitted step)."""
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        k_new = jnp.swapaxes(k_new, 1, 2)
+        v_new = jnp.swapaxes(v_new, 1, 2)
+    B, Hk, T, D = k_new.shape
+    page = cache.page_size
+    kc = k_new.astype(jnp.float32) - cache.k_mean
+    a = jnp.max(jnp.abs(kc), axis=-1, keepdims=True)
+    ks = jnp.where(a > 1e-8, a * (1.0 / 127.0), 1.0)        # [B,Hk,T,1]
+    k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
+    vc = v_new.astype(jnp.float32) - cache.v_mean
+    if cache.v_int8:
+        vq = jnp.clip(jnp.rint(vc / cache.v_scale), -127, 127
+                      ).astype(jnp.int8)
+    else:
+        vq = vc.astype(jnp.bfloat16)
+
+    k8_pool, ks_pool, v_pool = cache.k8_pool, cache.ks_pool, cache.v_pool
+    bidx = jnp.arange(B)
+    for t in range(T):
+        pos = cache.lengths + t                             # [B]
+        phys = cache.page_table[bidx, pos // page]          # [B]
+        off = pos % page                                    # [B]
+        k8_pool = k8_pool.at[phys, :, off].set(k8[:, :, t])
+        ks_pool = ks_pool.at[phys, :, 0, off].set(ks[:, :, t, 0])
+        v_pool = v_pool.at[phys, :, off].set(vq[:, :, t])
+    return cache._replace(k8_pool=k8_pool, ks_pool=ks_pool, v_pool=v_pool,
+                          lengths=cache.lengths + T)
+
+
+def pages_bucket_for(cache_or_lengths, page_size: int = _PAGE_DEFAULT) -> int:
+    """Host-side static page budget covering every sequence (call with
+    concrete lengths — bucketed serving picks this per compiled shape)."""
+    if isinstance(cache_or_lengths, PagedKVCache):
+        lengths = np.asarray(cache_or_lengths.lengths)
+        page_size = cache_or_lengths.page_size
+    else:
+        lengths = np.asarray(cache_or_lengths)
+    return int(-(-int(lengths.max()) // page_size))
+
+
+def sageattn_decode_paged(
+    q,
+    cache: PagedKVCache,
+    *,
+    tensor_layout: str = "HND",
+    sm_scale: Optional[float] = None,
+    pages_bucket: int = 0,
+    is_causal: bool = True,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Attention of ``T`` fresh tokens per sequence against the paged pool.
+
+    ``q``: [B, Hq, T, D] (HND); row ``t`` of sequence ``b`` sits at global
+    position ``lengths[b] - T + t`` (append first, then decode).
+    ``pages_bucket`` statically bounds the per-sequence page stream
+    (0 = the table's full width); pick with :func:`pages_bucket_for`.
+
+    Returns [B, Hq, T, D] bf16 in the input layout.
+    """
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        q = jnp.swapaxes(q, 1, 2)
+    B, Hq, T, D = q.shape
+    _, Hk, page, Dk = cache.k8_pool.shape
+    if D != Dk:
+        raise ValueError(f"head_dim mismatch: q {D} vs pool {Dk}")
+    if Hq % Hk != 0:
+        raise ValueError(f"num_qo_heads ({Hq}) must be divisible by "
+                         f"num_kv_heads ({Hk})")
+    if T > _TQ:
+        raise ValueError(f"decode window T={T} exceeds the q tile ({_TQ}); "
+                         f"chunk the window")
+    if interpret is None:
+        interpret = dispatch.default_interpret()
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    max_pages = cache.page_table.shape[1]
+    n_pages = pages_bucket or max_pages
+    if n_pages > max_pages:
+        raise ValueError(f"pages_bucket ({n_pages}) > table width "
+                         f"({max_pages})")
+    G = Hq // Hk
+
+    # fold GQA heads into tile rows at T=1 (KV stream fetched once per KV
+    # head); T>1 keeps per-head rows so the causal window mask sees t.
+    fold = T == 1 and G > 1 and G <= _TQ
+    if fold:
+        qt, Hg = q.reshape(B, Hk, G, D), Hk
+    else:
+        qt, Hg = q, Hq
+    rows = qt.shape[2]
+    qt = (qt.astype(jnp.float32) * (sm_scale * LOG2E)).astype(jnp.bfloat16)
+    qt = jnp.pad(qt, ((0, 0), (0, 0), (0, _TQ - rows), (0, 0)))
+
+    # clamp dead table slots to each sequence's last live page: consecutive
+    # grid steps then fetch the same physical block and Mosaic skips the
+    # DMA (the bool-mask remap trick, `ops/attention.py:574-585`).
+    last_live = jnp.maximum(cache.lengths - 1, 0) // page   # [B]
+    slot = jnp.minimum(jnp.arange(max_pages)[None, :], last_live[:, None])
+    table_eff = jnp.take_along_axis(cache.page_table, slot, axis=1)
+
+    out = paged_decode_call(
+        qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
+        cache.v_scale, cache.v_mean,
+        table_eff, cache.lengths,
+        n_pages=n_pages,
+        window=T if (is_causal and T > 1) else 1,
+        interpret=interpret,
+    )
+    out = out[:, :, :rows]
+    if fold:
+        out = out.reshape(B, Hq, 1, D)
+    if not layout.is_hnd:
+        out = jnp.swapaxes(out, 1, 2)
+    return out

@@ -1,0 +1,210 @@
+"""Paged int8 KV cache vs the fp32 oracle (interpret-mode CI lane).
+
+Covers: ragged per-sequence lengths (the feature the dense cache lacks),
+shuffled non-contiguous page tables, appends crossing page boundaries,
+GQA head folding, T>1 causal windows, bf16-V mode, prefix sharing
+(two table rows referencing the same physical pages), and the allocator's
+refcounted free list.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sageattention_tpu.paged import (
+    PageAllocator, build_table, paged_prefill, paged_append,
+    pages_bucket_for, sageattn_decode_paged)
+from sageattention_tpu.ops.reference import sdpa
+from sageattention_tpu.utils.testing import calc_diff
+
+BAR = 1.5e-3
+PAGE = 256
+
+
+def _mk_ragged(B, Hk, lengths, D, seed=0, s_pad=None):
+    s_pad = s_pad or -(-max(lengths) // PAGE) * PAGE
+    r = jax.random.split(jax.random.PRNGKey(seed), 2)
+    k = jax.random.normal(r[0], (B, Hk, s_pad, D), jnp.float32)
+    v = jax.random.normal(r[1], (B, Hk, s_pad, D), jnp.float32)
+    return k, v, s_pad
+
+
+def _oracle(q, k, v, length, T=1):
+    """One sequence's decode oracle: last-T-rows causal over its true
+    prefix.  q [Hq, T, D]; k/v [Hk, S_pad, D] (pad ignored)."""
+    Hq, Hk = q.shape[0], k.shape[0]
+    G = Hq // Hk
+    ke = jnp.repeat(k[:, :length], G, axis=0)[None]
+    ve = jnp.repeat(v[:, :length], G, axis=0)[None]
+    qpos = length - T + jnp.arange(T)[:, None]
+    mask = (jnp.arange(length)[None, :] <= qpos)[None, None]
+    return sdpa(q[None], ke, ve, mask=mask)[0]
+
+
+def _build(k, v, lengths, *, num_pages=64, shuffle_seed=None, **kw):
+    n = [-(-l // PAGE) for l in lengths]
+    s_pad = k.shape[2]
+    per_seq = s_pad // PAGE
+    alloc = PageAllocator(num_pages, PAGE)
+    rows = [alloc.reserve(per_seq) for _ in lengths]  # covers pad pages too
+    if shuffle_seed is not None:
+        rng = np.random.RandomState(shuffle_seed)
+        for r in rows:
+            rng.shuffle(r)  # non-contiguous, arbitrary-order physical pages
+    table = build_table(rows, max_pages=per_seq + 2)
+    cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                          num_pages=num_pages, **kw)
+    return cache, alloc, rows
+
+
+class TestPagedDecode:
+    def test_ragged_t1(self):
+        B, Hq, Hk, D = 3, 4, 4, 64
+        lengths = [300, 512, 117]
+        k, v, _ = _mk_ragged(B, Hk, lengths, D)
+        cache, _, _ = _build(k, v, lengths, shuffle_seed=0)
+        q = jax.random.normal(jax.random.PRNGKey(2), (B, Hq, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        assert out.shape == (B, Hq, 1, D)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, b
+
+    def test_gqa_fold(self):
+        B, Hq, Hk, D = 2, 8, 2, 128
+        lengths = [400, 256]
+        k, v, _ = _mk_ragged(B, Hk, lengths, D, seed=1)
+        cache, _, _ = _build(k, v, lengths, shuffle_seed=1)
+        q = jax.random.normal(jax.random.PRNGKey(3), (B, Hq, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, b
+
+    def test_append_crosses_page_boundary(self):
+        B, H, D = 2, 2, 64
+        lengths = [254, 100]  # seq 0 crosses into page 2 after 3 appends
+        k, v, s_pad = _mk_ragged(B, H, [512, 512], D, seed=2)
+        cache, _, _ = _build(k, v, lengths)
+        grown = [l for l in lengths]
+        for t in range(4):
+            kn = jnp.stack([k[0, :, grown[0]], k[1, :, grown[1]]])[:, :, None]
+            vn = jnp.stack([v[0, :, grown[0]], v[1, :, grown[1]]])[:, :, None]
+            cache = paged_append(cache, kn, vn)
+            grown = [g + 1 for g in grown]
+        q = jax.random.normal(jax.random.PRNGKey(4), (B, H, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], grown[b])
+            assert calc_diff(out[b], ref) < BAR, b
+        assert [int(x) for x in cache.lengths] == grown
+
+    def test_window_causal(self):
+        B, H, D, T = 2, 2, 64, 4
+        lengths = [200, 301]
+        k, v, _ = _mk_ragged(B, H, lengths, D, seed=3)
+        # hold back the last T tokens, then append them as a window
+        pre = [l - T for l in lengths]
+        cache, _, _ = _build(k, v, pre)
+        kn = jnp.stack([k[b, :, pre[b]:pre[b] + T] for b in range(B)])
+        vn = jnp.stack([v[b, :, pre[b]:pre[b] + T] for b in range(B)])
+        cache = paged_append(cache, kn, vn)
+        q = jax.random.normal(jax.random.PRNGKey(5), (B, H, T, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b], T=T)
+            assert calc_diff(out[b], ref) < BAR, b
+
+    def test_bf16_v_mode(self):
+        B, H, D = 1, 2, 64
+        lengths = [333]
+        k, v, _ = _mk_ragged(B, H, lengths, D, seed=4)
+        cache, _, _ = _build(k, v, lengths, v_quant=False)
+        assert not cache.v_int8
+        q = jax.random.normal(jax.random.PRNGKey(6), (B, H, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        ref = _oracle(q[0], k[0], v[0], lengths[0])
+        assert calc_diff(out[0], ref) < BAR
+
+    def test_prefix_sharing(self):
+        """Two sequences share the first page (same prompt prefix stored
+        once); each then gets its own continuation page."""
+        Hk, D = 2, 64
+        r = jax.random.split(jax.random.PRNGKey(7), 4)
+        shared = jax.random.normal(r[0], (Hk, PAGE, D), jnp.float32)
+        contA = jax.random.normal(r[1], (Hk, PAGE, D), jnp.float32)
+        contB = jax.random.normal(r[2], (Hk, PAGE, D), jnp.float32)
+        kA = jnp.concatenate([shared, contA], axis=1)[None]
+        kB = jnp.concatenate([shared, contB], axis=1)[None]
+        # store as a 2-seq batch: prefill writes the shared page twice with
+        # identical content (dedup is the allocator's job, demonstrated by
+        # pointing both rows at seq 0's first page)
+        k = jnp.concatenate([kA, kB], axis=0)
+        v = k * 0.5 + 1.0
+        lengths = [2 * PAGE, PAGE + 77]
+        alloc = PageAllocator(16, PAGE)
+        rowA = alloc.reserve(2)
+        rowB = [rowA[0]] + alloc.reserve(1)   # share page 0
+        alloc.share([rowA[0]])
+        table = build_table([rowA, rowB], max_pages=3)
+        cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                              num_pages=16)
+        q = jax.random.normal(r[3], (2, Hk, 1, D), jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        for b in range(2):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, b
+
+    def test_pages_bucket_bounds_stream(self):
+        B, H, D = 2, 2, 64
+        lengths = [130, 500]
+        k, v, _ = _mk_ragged(B, H, lengths, D, seed=5)
+        cache, _, _ = _build(k, v, lengths)
+        q = jax.random.normal(jax.random.PRNGKey(8), (B, H, 1, D),
+                              jnp.float32)
+        bucket = pages_bucket_for(cache)
+        assert bucket == 2
+        out = sageattn_decode_paged(q, cache, pages_bucket=bucket,
+                                    interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, b
+
+
+class TestAllocator:
+    def test_refcounted_release(self):
+        alloc = PageAllocator(4, PAGE)
+        a = alloc.reserve(2)
+        shared = alloc.share([a[0]])
+        assert alloc.free_pages == 2
+        alloc.release(a)
+        assert alloc.free_pages == 3          # a[0] still referenced
+        alloc.release(shared)
+        assert alloc.free_pages == 4
+        with pytest.raises(ValueError):
+            alloc.release([a[0]])
+
+    def test_exhaustion(self):
+        alloc = PageAllocator(2, PAGE)
+        alloc.reserve(2)
+        with pytest.raises(MemoryError):
+            alloc.reserve(1)
+
+    def test_errors(self):
+        with pytest.raises(ValueError):
+            build_table([[0, 1, 2]], max_pages=2)
+        B, H, D = 1, 2, 64
+        k, v, _ = _mk_ragged(B, H, [100], D)
+        cache, _, _ = _build(k, v, [100])
+        q = jnp.zeros((B, 3, 1, D))
+        with pytest.raises(ValueError):
+            sageattn_decode_paged(q, cache, interpret=True)  # 3 % 2 != 0
+        with pytest.raises(ValueError):
+            sageattn_decode_paged(jnp.zeros((B, H, 64, D)), cache,
+                                  interpret=True)  # window > TQ

@@ -169,6 +169,65 @@ class TestCompiledRing:
         assert calc_diff(out, sdpa(q, k, v)) < 1.5e-3
 
 
+class TestCompiledDecode:
+    def test_decode_t1_gqa_fold(self):
+        # GQA head-folding fast path, unaligned prefill, compiled Mosaic
+        from sageattention_tpu import decode as dec
+        r = jax.random.split(jax.random.PRNGKey(15), 3)
+        B, Hq, Hk, S, D = 1, 8, 2, 1000, 128
+        k = jax.random.normal(r[0], (B, Hk, S, D), jnp.bfloat16)
+        v = jax.random.normal(r[1], (B, Hk, S, D), jnp.bfloat16)
+        q = jax.random.normal(r[2], (B, Hq, 1, D), jnp.bfloat16)
+        cache = dec.kv_cache_init(k, v, max_len=1024)
+        out = jax.jit(lambda q, c: dec.sageattn_decode(q, c))(q, cache)
+        G = Hq // Hk
+        ref = sdpa(q.astype(jnp.float32),
+                   jnp.repeat(k, G, 1).astype(jnp.float32),
+                   jnp.repeat(v, G, 1).astype(jnp.float32))
+        assert calc_diff(out, ref) < 2e-3
+
+    def test_paged_ragged_batch(self):
+        # paged pool, shuffled tables, ragged lengths — compiled Mosaic
+        from sageattention_tpu.paged import (
+            PageAllocator, build_table, paged_prefill, sageattn_decode_paged)
+        B, Hq, Hk, D, PAGE = 2, 8, 2, 128, 256
+        lengths = [300, 512]
+        r = jax.random.split(jax.random.PRNGKey(17), 3)
+        k = jax.random.normal(r[0], (B, Hk, 512, D), jnp.bfloat16)
+        v = jax.random.normal(r[1], (B, Hk, 512, D), jnp.bfloat16)
+        alloc = PageAllocator(16, PAGE)
+        rows = [alloc.reserve(2)[::-1], alloc.reserve(2)]
+        table = build_table(rows, max_pages=2)
+        cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                              num_pages=16)
+        q = jax.random.normal(r[2], (B, Hq, 1, D), jnp.bfloat16)
+        out = jax.jit(lambda q, c: sageattn_decode_paged(q, c))(q, cache)
+        G = Hq // Hk
+        for b, L in enumerate(lengths):
+            ke = jnp.repeat(k[b:b+1, :, :L], G, 1).astype(jnp.float32)
+            ve = jnp.repeat(v[b:b+1, :, :L], G, 1).astype(jnp.float32)
+            ref = sdpa(q[b:b+1].astype(jnp.float32), ke, ve)
+            assert calc_diff(out[b:b+1], ref) < 2e-3, b
+
+    def test_decode_window_causal_appended(self):
+        # append-grown cache + T>1 causal window via dynamic offsets
+        from sageattention_tpu import decode as dec
+        r = jax.random.split(jax.random.PRNGKey(16), 3)
+        B, H, S0, T, D = 1, 4, 500, 4, 64
+        k = jax.random.normal(r[0], (B, H, S0 + T, D), jnp.bfloat16)
+        v = jax.random.normal(r[1], (B, H, S0 + T, D), jnp.bfloat16)
+        q = jax.random.normal(r[2], (B, H, T, D), jnp.bfloat16)
+        cache = dec.kv_cache_init(k[:, :, :S0], v[:, :, :S0], max_len=1024)
+        cache = jax.jit(dec.kv_cache_append)(cache, k[:, :, S0:], v[:, :, S0:])
+        out = jax.jit(lambda q, c: dec.sageattn_decode(
+            q, c, bucket=dec.decode_bucket(S0 + T)))(q, cache)
+        qfull = jnp.concatenate(
+            [jnp.zeros((B, H, S0, D), jnp.bfloat16), q], axis=2)
+        ref = sdpa(qfull.astype(jnp.float32), k.astype(jnp.float32),
+                   v.astype(jnp.float32), is_causal=True)[:, :, S0:]
+        assert calc_diff(out, ref) < 2e-3
+
+
 class TestCompiledBackward:
     def test_grads_match_exact(self):
         q, k, v = mk(D=64, key=8)

@@ -39,6 +39,10 @@ def xla_decode(q, k, v):
 
 
 def run(L, B=8, Hq=32, Hk=8, D=128, reps=50):
+    from sageattention_tpu.paged import (
+        PageAllocator, build_table, paged_prefill, pages_bucket_for,
+        sageattn_decode_paged)
+
     r = jax.random.split(jax.random.PRNGKey(0), 3)
     k = jax.random.normal(r[0], (B, Hk, L, D), jnp.bfloat16)
     v = jax.random.normal(r[1], (B, Hk, L, D), jnp.bfloat16)
@@ -46,6 +50,24 @@ def run(L, B=8, Hq=32, Hk=8, D=128, reps=50):
     bucket = decode_bucket(L)
     cache8 = kv_cache_init(k, v, max_len=bucket)
     cacheb = kv_cache_init(k, v, max_len=bucket, v_quant=False)
+    # paged pool at the same geometry (page 256, shuffled physical order —
+    # the realistic fragmented-pool case)
+    PAGE = 256
+    s_pad = -(-L // PAGE) * PAGE
+    per_seq = s_pad // PAGE
+    alloc = PageAllocator(B * per_seq, PAGE)
+    rng = np.random.RandomState(0)
+    rows = []
+    for _ in range(B):
+        row = alloc.reserve(per_seq)
+        rng.shuffle(row)
+        rows.append(row)
+    table = build_table(rows, max_pages=per_seq)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - L), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - L), (0, 0)))
+    cachep = paged_prefill(kp, vp, jnp.full((B,), L, jnp.int32), table,
+                           num_pages=B * per_seq)
+    pbucket = pages_bucket_for(cachep)
     ref = np.asarray(xla_decode(q, k, v), np.float32)
 
     fns = {
@@ -53,10 +75,12 @@ def run(L, B=8, Hq=32, Hk=8, D=128, reps=50):
             q, c, bucket=bucket)),
         "bf16V-cache": jax.jit(lambda q, c: sageattn_decode(
             q, c, bucket=bucket)),
+        "paged-int8": jax.jit(lambda q, c: sageattn_decode_paged(
+            q, c, pages_bucket=pbucket)),
         "xla-bf16": jax.jit(xla_decode),
     }
     args = {"int8-cache": (q, cache8), "bf16V-cache": (q, cacheb),
-            "xla-bf16": (q, k, v)}
+            "paged-int8": (q, cachep), "xla-bf16": (q, k, v)}
     # compile + accuracy outside timing
     for name, fn in fns.items():
         out = fn(*args[name])
@@ -65,6 +89,7 @@ def run(L, B=8, Hq=32, Hk=8, D=128, reps=50):
     kv_bytes = {  # per-step K+V stream (the bound)
         "int8-cache": 2 * B * Hk * L * D,
         "bf16V-cache": 3 * B * Hk * L * D,
+        "paged-int8": 2 * B * Hk * L * D,
         "xla-bf16": 4 * B * Hk * L * D,
     }
     for _ in range(2):  # interleave

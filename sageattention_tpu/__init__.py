@@ -31,6 +31,7 @@ from .paged import (
     build_table,
     paged_prefill,
     paged_append,
+    paged_insert,
     pages_bucket_for,
     sageattn_decode_paged,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "build_table",
     "paged_prefill",
     "paged_append",
+    "paged_insert",
     "pages_bucket_for",
     "sageattn_decode_paged",
     "detect_tpu",

@@ -229,12 +229,81 @@ def paged_prefill(
                         page_table, lengths)
 
 
+def paged_insert(
+    cache: PagedKVCache,
+    slot: int,
+    k,
+    v,
+    length,
+    pages: Sequence[int],
+    *,
+    tensor_layout: str = "HND",
+) -> PagedKVCache:
+    """Admit a new sequence into batch ``slot`` of an existing pool
+    (continuous batching: a finished sequence released its pages, a new
+    request reuses the slot).  ``k``/``v``: [Hk, S_pad, D] page-aligned;
+    ``pages``: the physical pages reserved for it (host-side list).
+
+    Quantizes with the POOL's fixed stats — the pool's centering never
+    changes after creation, which is what keeps every other sequence's
+    codes valid.  New data with drastically different statistics than the
+    pool was built on degrades gracefully (per-token K scales absorb K;
+    V clips at the global scale) — rebuild the pool when the workload
+    shifts regime.
+    """
+    layout = get_layout(tensor_layout)
+    if not layout.is_hnd:
+        k = jnp.swapaxes(k, 0, 1)
+        v = jnp.swapaxes(v, 0, 1)
+    Hk, S, D = k.shape
+    page = cache.page_size
+    if S % page:
+        raise ValueError(f"insert length {S} must be page-aligned ({page})")
+    n = S // page
+    if n > len(pages):
+        raise ValueError(f"{n} pages of data but only {len(pages)} reserved")
+    if len(pages) > cache.page_table.shape[1]:
+        raise ValueError(f"{len(pages)} pages > table width "
+                         f"{cache.page_table.shape[1]}")
+    kc = k.astype(jnp.float32) - cache.k_mean[0]            # [Hk,S,D]
+    a = jnp.max(jnp.abs(kc), axis=-1, keepdims=True)
+    ks = jnp.where(a > 1e-8, a * (1.0 / 127.0), 1.0)
+    k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
+    vc = v.astype(jnp.float32) - cache.v_mean[0]
+    if cache.v_int8:
+        vq = jnp.clip(jnp.rint(vc / cache.v_scale[0]), -127, 127
+                      ).astype(jnp.int8)
+    else:
+        vq = vc.astype(jnp.bfloat16)
+
+    phys = jnp.asarray(list(pages[:n]), jnp.int32)
+    k_pages = jnp.moveaxis(k8.reshape(Hk, n, page, D), 1, 0)
+    v_pages = jnp.moveaxis(vq.reshape(Hk, n, page, D), 1, 0)
+    ks_pages = jnp.moveaxis(
+        jnp.swapaxes(ks, 1, 2).reshape(Hk, 1, n, page), 2, 0)
+    row = jnp.zeros((cache.page_table.shape[1],), jnp.int32
+                    ).at[:len(pages)].set(jnp.asarray(list(pages), jnp.int32))
+    return cache._replace(
+        k8_pool=cache.k8_pool.at[phys].set(k_pages),
+        ks_pool=cache.ks_pool.at[phys].set(ks_pages),
+        v_pool=cache.v_pool.at[phys].set(v_pages),
+        page_table=cache.page_table.at[slot].set(row),
+        lengths=cache.lengths.at[slot].set(jnp.asarray(length, jnp.int32)),
+    )
+
+
 def paged_append(cache: PagedKVCache, k_new, v_new,
-                 *, tensor_layout: str = "HND") -> PagedKVCache:
+                 *, active=None, tensor_layout: str = "HND") -> PagedKVCache:
     """Quantize ``T`` new tokens per sequence (with the pool's fixed stats)
     and write each at its sequence's own ``lengths[b] + t`` — ragged-batch
     append.  The block table must already cover the grown length (reserve
-    pages on the host before the jitted step)."""
+    pages on the host before the jitted step).
+
+    ``active``: optional [B] bool — continuous batching runs one jitted
+    step over all slots, but finished/empty slots must neither write nor
+    advance: their scatters are redirected out of range (``mode='drop'``,
+    so nothing in the pool is touched) and their lengths stay put.
+    """
     layout = get_layout(tensor_layout)
     if not layout.is_hnd:
         k_new = jnp.swapaxes(k_new, 1, 2)
@@ -254,15 +323,23 @@ def paged_append(cache: PagedKVCache, k_new, v_new,
 
     k8_pool, ks_pool, v_pool = cache.k8_pool, cache.ks_pool, cache.v_pool
     bidx = jnp.arange(B)
+    if active is None:
+        grow = jnp.full((B,), T, jnp.int32)
+    else:
+        active = jnp.asarray(active, bool)
+        grow = jnp.where(active, T, 0).astype(jnp.int32)
     for t in range(T):
         pos = cache.lengths + t                             # [B]
         phys = cache.page_table[bidx, pos // page]          # [B]
+        if active is not None:
+            phys = jnp.where(active, phys, cache.num_pages)  # drop target
         off = pos % page                                    # [B]
-        k8_pool = k8_pool.at[phys, :, off].set(k8[:, :, t])
-        ks_pool = ks_pool.at[phys, :, 0, off].set(ks[:, :, t, 0])
-        v_pool = v_pool.at[phys, :, off].set(vq[:, :, t])
+        k8_pool = k8_pool.at[phys, :, off].set(k8[:, :, t], mode="drop")
+        ks_pool = ks_pool.at[phys, :, 0, off].set(ks[:, :, t, 0],
+                                                  mode="drop")
+        v_pool = v_pool.at[phys, :, off].set(vq[:, :, t], mode="drop")
     return cache._replace(k8_pool=k8_pool, ks_pool=ks_pool, v_pool=v_pool,
-                          lengths=cache.lengths + T)
+                          lengths=cache.lengths + grow)
 
 
 def pages_bucket_for(cache_or_lengths, page_size: int = _PAGE_DEFAULT) -> int:

@@ -161,6 +161,38 @@ class TestPagedDecode:
             ref = _oracle(q[b], k[b], v[b], lengths[b])
             assert calc_diff(out[b], ref) < BAR, b
 
+    def test_insert_reuses_released_slot(self):
+        """Continuous batching: seq 1 finishes, its pages are released, a
+        NEW sequence is admitted into slot 1 reusing those physical pages;
+        both the surviving seq 0 and the newcomer must stay exact."""
+        from sageattention_tpu.paged import paged_insert
+        B, H, D = 2, 2, 64
+        lengths = [400, 512]
+        k, v, _ = _mk_ragged(B, H, lengths, D, seed=6)
+        cache, alloc, rows = _build(k, v, lengths)
+        alloc.release(rows[1])
+        k2, v2, _ = _mk_ragged(1, H, [290], D, seed=7)
+        new_pages = alloc.reserve(2)
+        cache = paged_insert(cache, 1, k2[0], v2[0], 290, new_pages)
+        q = jax.random.normal(jax.random.PRNGKey(9), (B, H, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, interpret=True)
+        assert calc_diff(out[0], _oracle(q[0], k[0], v[0], 400)) < BAR
+        assert calc_diff(out[1], _oracle(q[1], k2[0], v2[0], 290)) < BAR
+        # the newcomer keeps decoding; slot 0 is inactive this step (its
+        # write is dropped, its length frozen) — the continuous-batching
+        # one-jitted-step-for-all-slots pattern
+        kn = k2[:, :, 290:291]
+        vn = v2[:, :, 290:291]
+        cache = paged_append(
+            cache, jnp.concatenate([jnp.ones_like(kn) * 9, kn]),
+            jnp.concatenate([jnp.ones_like(vn) * 9, vn]),
+            active=jnp.array([False, True]))
+        assert [int(x) for x in cache.lengths] == [400, 291]
+        out2 = sageattn_decode_paged(q, cache, interpret=True)
+        assert calc_diff(out2[0], _oracle(q[0], k[0], v[0], 400)) < BAR
+        assert calc_diff(out2[1], _oracle(q[1], k2[0], v2[0], 291)) < BAR
+
     def test_pages_bucket_bounds_stream(self):
         B, H, D = 2, 2, 64
         lengths = [130, 500]

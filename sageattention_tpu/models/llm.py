@@ -34,13 +34,16 @@ class LlamaConfig:
 
 def rope(x, theta: float = 10000.0, pos=0):
     """Rotary embedding over NHD [B, S, H, D]; ``pos`` offsets the
-    positions (decode steps: the token's global index, traced OK)."""
+    positions — a scalar (synchronized decode) or a [B] vector (ragged
+    continuous batching: each sequence's own global index); traced OK."""
     B, S, H, D = x.shape
     half = D // 2
     freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    ang = ((jnp.arange(S, dtype=jnp.float32) + pos)[:, None] * freqs[None])
-    cos = jnp.cos(ang)[None, :, None, :]
-    sin = jnp.sin(ang)[None, :, None, :]
+    pos = jnp.reshape(jnp.asarray(pos, jnp.float32), (-1, 1))   # [1|B, 1]
+    ang = ((jnp.arange(S, dtype=jnp.float32)[None] + pos)[..., None]
+           * freqs[None, None])                                 # [1|B,S,half]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate(
         [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1).astype(x.dtype)
@@ -60,12 +63,16 @@ class LlamaBlock(nn.Module):
     """Decoder block.  Three attention modes (same params, so a model can
     prefill once and decode forever):
 
-    - ``cache=None, max_len=0``: plain causal prefill (original behavior).
+    - ``cache=None, max_len=0, paged_spec=None``: plain causal prefill.
     - ``cache=None, max_len>0``: prefill AND build an int8 KV cache
       (`decode.kv_cache_init` on the post-RoPE K/V) — returns (x, cache).
-    - ``cache=KVCache``: decode ``S`` new tokens at global positions
-      ``pos .. pos+S-1``: append their K/V, run `decode.sageattn_decode`
-      over the grown cache — returns (x, cache).
+    - ``cache=None, paged_spec={num_pages, page_table, lengths}``: prefill
+      into a PAGED pool (`paged.paged_prefill`; ragged right-padded batch,
+      page-aligned S) — returns (x, cache).
+    - ``cache=KVCache | PagedKVCache``: decode ``S`` new tokens — append
+      their K/V, attend over the grown cache — returns (x, cache).  For a
+      paged cache, ``pos=None`` uses each sequence's own length (ragged)
+      and ``active`` freezes finished slots.
     """
 
     cfg: LlamaConfig
@@ -73,11 +80,16 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, cache=None, pos=0, max_len: int = 0,
-                 bucket: int = 0):
+                 bucket: int = 0, paged_spec=None, active=None):
         from .. import decode as dec
+        from .. import paged as pg
 
         cfg = self.cfg
         B, S, _ = x.shape
+        if pos is None:
+            assert isinstance(cache, pg.PagedKVCache), \
+                "pos=None (ragged positions) needs a paged cache"
+            pos = cache.lengths
         h = RMSNorm(cfg.dtype)(x)
         q = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype, name="wq")(h)
         k = nn.Dense(cfg.kv_heads * cfg.head_dim, use_bias=False,
@@ -89,14 +101,23 @@ class LlamaBlock(nn.Module):
         k = rope(k.reshape(B, S, cfg.kv_heads, cfg.head_dim), cfg.rope_theta,
                  pos=pos)
         v = v.reshape(B, S, cfg.kv_heads, cfg.head_dim)
-        if cache is not None:
+        if isinstance(cache, pg.PagedKVCache):
+            cache = pg.paged_append(cache, k, v, tensor_layout="NHD",
+                                    active=active)
+            o = pg.sageattn_decode_paged(q, cache, tensor_layout="NHD",
+                                         pages_bucket=bucket)
+        elif cache is not None:
             cache = dec.kv_cache_append(cache, k, v, tensor_layout="NHD")
             o = dec.sageattn_decode(q, cache, tensor_layout="NHD",
                                     bucket=bucket)
         else:
             attn = self.attn_fn or jax.nn.dot_product_attention
             o = attn(q, k, v, is_causal=True)
-            if max_len:
+            if paged_spec is not None:
+                cache = pg.paged_prefill(
+                    k, v, paged_spec["lengths"], paged_spec["page_table"],
+                    num_pages=paged_spec["num_pages"], tensor_layout="NHD")
+            elif max_len:
                 cache = dec.kv_cache_init(k, v, max_len,
                                           tensor_layout="NHD")
         o = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype,
@@ -109,31 +130,35 @@ class LlamaBlock(nn.Module):
         down = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype)(
             nn.silu(gate) * up)
         x = x + down
-        if max_len or (cache is not None):
+        if max_len or paged_spec is not None or (cache is not None):
             return x, cache
         return x
 
 
 class LlamaLM(nn.Module):
     """``__call__(tokens)`` -> logits (prefill, original behavior).
-    ``max_len>0`` -> (logits, caches tuple) for subsequent decode calls;
+    ``max_len>0`` (dense) or ``paged_spec={num_pages, page_table,
+    lengths}`` (paged pool; one table serves every layer — each layer owns
+    its own pool indexed by the same page ids) -> (logits, caches tuple);
     ``caches=...`` -> decode the new tokens against/into the caches and
-    return (logits, caches)."""
+    return (logits, caches).  Paged ragged decode: ``pos=None`` + per-slot
+    ``active`` masks."""
 
     cfg: LlamaConfig
     attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, tokens, caches=None, pos=0, max_len: int = 0,
-                 bucket: int = 0):
+                 bucket: int = 0, paged_spec=None, active=None):
         cfg = self.cfg
         x = nn.Embed(cfg.vocab, cfg.hidden, dtype=cfg.dtype)(tokens)
         new_caches = []
         for i in range(cfg.depth):
             blk = LlamaBlock(cfg, self.attn_fn, name=f"layer_{i}")
-            if max_len or caches is not None:
+            if max_len or paged_spec is not None or caches is not None:
                 x, c = blk(x, cache=None if caches is None else caches[i],
-                           pos=pos, max_len=max_len, bucket=bucket)
+                           pos=pos, max_len=max_len, bucket=bucket,
+                           paged_spec=paged_spec, active=active)
                 new_caches.append(c)
             else:
                 x = blk(x)

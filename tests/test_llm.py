@@ -55,6 +55,38 @@ def test_llm_cached_decode_matches_full_forward():
     assert int(caches[0].length) == S0 + T
 
 
+def test_llm_paged_ragged_decode():
+    """Continuous-batching through the MODEL: ragged paged prefill (two
+    sequences, different lengths, one page table for all layers), then
+    per-sequence-position decode (pos=None) — each slot's logits must
+    match its own single-sequence no-cache forward."""
+    from sageattention_tpu.paged import PageAllocator, build_table
+
+    PAGE = 256
+    lengths = [256, 192]
+    T = 2
+    tokens = jax.random.randint(jax.random.PRNGKey(8), (2, PAGE + T), 0,
+                                CFG.vocab)
+    model = LlamaLM(CFG)
+    params = model.init(jax.random.PRNGKey(9), tokens[:, :PAGE])
+
+    alloc = PageAllocator(8, PAGE)
+    table = build_table([alloc.reserve(2), alloc.reserve(2)], max_pages=2)
+    spec = dict(num_pages=8, page_table=table,
+                lengths=jnp.asarray(lengths, jnp.int32))
+    logits, caches = model.apply(params, tokens[:, :PAGE], paged_spec=spec)
+
+    cur = list(lengths)
+    for t in range(T):
+        step_tok = jnp.stack([tokens[b, cur[b]] for b in range(2)])[:, None]
+        step, caches = model.apply(params, step_tok, caches=caches, pos=None)
+        cur = [c + 1 for c in cur]
+        for b in range(2):
+            full = model.apply(params, tokens[b:b + 1, :cur[b]])
+            assert calc_diff(step[b, 0], full[0, -1]) < 3e-3, (t, b)
+    assert [int(x) for x in caches[0].lengths] == cur
+
+
 def test_llm_cached_decode_multi_token():
     """A T>1 decode window (chunked prefill continuation) matches the full
     forward for every position in the window."""

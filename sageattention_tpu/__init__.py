@@ -24,6 +24,7 @@ from .decode import (
     kv_cache_append,
     sageattn_decode,
     decode_bucket,
+    kv_cache_trim,
 )
 from .paged import (
     PagedKVCache,
@@ -32,6 +33,7 @@ from .paged import (
     paged_prefill,
     paged_append,
     paged_insert,
+    paged_trim,
     pages_bucket_for,
     sageattn_decode_paged,
 )
@@ -56,12 +58,14 @@ __all__ = [
     "kv_cache_append",
     "sageattn_decode",
     "decode_bucket",
+    "kv_cache_trim",
     "PagedKVCache",
     "PageAllocator",
     "build_table",
     "paged_prefill",
     "paged_append",
     "paged_insert",
+    "paged_trim",
     "pages_bucket_for",
     "sageattn_decode_paged",
     "detect_tpu",

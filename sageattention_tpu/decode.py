@@ -174,6 +174,15 @@ def kv_cache_append(cache: KVCache, k_new, v_new,
     )
 
 
+def kv_cache_trim(cache: KVCache, n) -> KVCache:
+    """Roll back the last ``n`` tokens (speculative decoding: rejected
+    draft tokens).  O(1) — only the visible length moves; the stale codes
+    beyond it are masked by every decode and overwritten by the next
+    append.  ``n`` may be traced (accept-count from a verify step)."""
+    return cache._replace(
+        length=jnp.maximum(cache.length - jnp.asarray(n, jnp.int32), 0))
+
+
 def decode_bucket(length: int, block: int = _BK_DEFAULT) -> int:
     """Smallest bucket (multiple of ``block``) covering ``length`` — pick
     buckets on the host so jit compiles one kernel per bucket, not per

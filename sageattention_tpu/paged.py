@@ -342,6 +342,16 @@ def paged_append(cache: PagedKVCache, k_new, v_new,
                           lengths=cache.lengths + grow)
 
 
+def paged_trim(cache: PagedKVCache, n) -> PagedKVCache:
+    """Roll back the last ``n`` tokens per sequence (speculative decoding:
+    rejected draft tokens; scalar or [B] — each slot its own accept
+    count).  O(1): lengths move, pages stay, stale codes are masked by
+    every decode and overwritten by the next append."""
+    n = jnp.asarray(n, jnp.int32)
+    return cache._replace(
+        lengths=jnp.maximum(cache.lengths - n, 0))
+
+
 def pages_bucket_for(cache_or_lengths, page_size: int = _PAGE_DEFAULT) -> int:
     """Host-side static page budget covering every sequence (call with
     concrete lengths — bucketed serving picks this per compiled shape)."""

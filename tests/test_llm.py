@@ -55,6 +55,37 @@ def test_llm_cached_decode_matches_full_forward():
     assert int(caches[0].length) == S0 + T
 
 
+def test_speculative_matches_target_greedy():
+    """Greedy speculative decoding must emit EXACTLY the target model's own
+    greedy continuation (the Leviathan guarantee, deterministic case) —
+    this exercises windowed verify decodes, O(1) trims, and draft
+    catch-up appends in one loop."""
+    from sageattention_tpu.models.speculative import speculative_generate
+
+    tgt_cfg = CFG
+    dft_cfg = LlamaConfig(hidden=128, heads=2, kv_heads=2, depth=1,
+                          vocab=CFG.vocab)
+    target, draft = LlamaLM(tgt_cfg), LlamaLM(dft_cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(10), (1, 48), 0,
+                                CFG.vocab)
+    tp = target.init(jax.random.PRNGKey(11), prompt)
+    dp = draft.init(jax.random.PRNGKey(12), prompt)
+
+    steps = 10
+    spec, rate = speculative_generate(target, tp, draft, dp, prompt, steps,
+                                      gamma=3, max_len=96)
+    # oracle: plain greedy decode with the target alone (cached path)
+    logits, caches = target.apply(tp, prompt, max_len=96)
+    ref = [int(jnp.argmax(logits[0, -1]))]
+    for t in range(steps - 1):
+        tok = jnp.asarray([[ref[-1]]], jnp.int32)
+        logits, caches = target.apply(tp, tok, caches=caches,
+                                      pos=prompt.shape[1] + t)
+        ref.append(int(jnp.argmax(logits[0, -1])))
+    assert spec[0, prompt.shape[1]:].tolist() == ref
+    assert 0.0 <= rate <= 1.0
+
+
 def test_llm_paged_ragged_decode():
     """Continuous-batching through the MODEL: ragged paged prefill (two
     sequences, different lengths, one page table for all layers), then

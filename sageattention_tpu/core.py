@@ -141,6 +141,10 @@ def _sage_attention(
     # disappears).  None = auto (on whenever eligible: fused head-mode
     # dense path).  Tests pass False to compare the pre-quantized pipeline
     # exactly against the jnp reference.
+    sliding_window: int = 0,  # r3: local (sliding-window) causal attention —
+    # row r attends cols [r - sliding_window + 1, r].  Static causal only;
+    # below-window KV blocks are skipped at both the compute AND DMA level
+    # (ops/attention.py AttnConfig.window), so cost scales O(S*W).
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
     ``block_q``/``block_k`` of 0 select tuned sizes for the shape.
@@ -187,6 +191,14 @@ def _sage_attention(
         raise ValueError(f"k and v shapes must match, got {k.shape} vs {v.shape}")
     if is_causal and Sq != Sk:
         raise ValueError("is_causal requires qo_len == kv_len (as in the reference)")
+    if sliding_window:
+        if not is_causal:
+            raise ValueError("sliding_window requires is_causal=True")
+        if attn_mask is not None:
+            raise ValueError("sliding_window composes with no user attn_mask")
+        if kv_true:
+            raise ValueError("sliding_window with pre-padded kv_true is "
+                             "unsupported; pass unpadded inputs")
     if sm_scale is None:
         sm_scale = 1.0 / (D_og ** 0.5)
     if qk_quant_gran not in quant_ops.QUANT_GRANULARITIES:
@@ -604,6 +616,7 @@ def _sage_attention(
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
             fuse_q_quant=fuse_qq, sm_scale=sm_scale,
             q_len=(Sq if (fuse_qq and Sq_pad != Sq) else 0),
+            window=sliding_window,
         )
         return attention_call(
             q if fuse_qq else q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
@@ -797,6 +810,16 @@ def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
     """
     quant_bwd = opts.pop("quant_backward", None)   # factories only; the
     # non-diff paths below never reach the backward kernels
+    if opts.get("sliding_window"):
+        # the backward kernels recompute FULL causal P — windowed gradients
+        # would be silently wrong; fail loudly until they thread the window
+        fn = _nondiff(
+            lambda a, b, c: _sage_attention(
+                a, b, c, return_lse=return_lse, attn_mask=attn_mask, **opts),
+            "sageattn(sliding_window=...) is not differentiable yet (the "
+            "backward kernels recompute full-causal P); use is_causal with "
+            "a bool band mask for training")
+        return fn(q, k, v)
     if return_lse:
         fn = _nondiff(
             lambda a, b, c: _sage_attention(
@@ -845,7 +868,7 @@ def sageattn(
     # plumbing is already here (reference keeps sageattn3 a separate API,
     # `sageattn3/api.py:131-152`; we fold it into the dispatcher).
     if (caps.has_fp4 and not return_lse and kwargs.get("attn_mask") is None
-            and q.shape[-1] <= 128):
+            and not kwargs.get("sliding_window") and q.shape[-1] <= 128):
         from .ops.lowbit import sageattn3_tiled
         qh, kh, vh = ((q, k, v) if tensor_layout == "HND" else
                       (jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
@@ -866,6 +889,7 @@ def sageattn(
         interpret=kwargs.pop("interpret", None),
         fuse_q_quant=kwargs.pop("fuse_q_quant", None),
         quant_backward=kwargs.pop("quant_backward", None),
+        sliding_window=kwargs.pop("sliding_window", 0),
     )
 
 
@@ -986,6 +1010,7 @@ def flash_attention(
     block_q: int = 0,
     block_k: int = 0,
     interpret: Optional[bool] = None,
+    sliding_window: int = 0,
 ):
     """Unquantized bf16 FlashAttention baseline (Pallas).
 
@@ -1019,10 +1044,13 @@ def flash_attention(
     k = pad_axis(k, 2, Sk_pad).astype(jnp.bfloat16)
     v = pad_axis(v, 2, Sk_pad).astype(jnp.bfloat16)
 
+    if sliding_window and not is_causal:
+        raise ValueError("sliding_window requires is_causal=True")
     cfg = AttnConfig(
         block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
         quantized=False, layout="HND", sm_scale=sm_scale, kv_len=Sk,
         out_dtype=jnp.bfloat16, emit_lse=return_lse,
+        window=sliding_window,
     )
     out, lse_b2 = attention_call(q, k, v, cfg=cfg, interpret=interpret)
     out = out[:, :, :Sq, :D_og]

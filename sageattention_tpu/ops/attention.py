@@ -146,6 +146,12 @@ class AttnConfig:
     # segment's K scale into its own rows
     q_len: int = 0  # true q length (pre-padding); pad rows are excluded
     # from the lmin reduction (0 = no q padding)
+    window: int = 0  # r3: sliding-window (local) attention — query row r
+    # attends keys in [r - window + 1, r] (Mistral/Gemma2-class SWA; the
+    # reference has no counterpart).  Static causal only: both diagonal
+    # bounds are static functions of the grid indices, so the K/V index
+    # maps CLAMP below-window blocks exactly like above-diagonal ones —
+    # FLOPs AND DMA scale O(S*window) instead of O(S^2/2).  0 = disabled.
     softmax_mode: str = "online"  # "online": classic flash running-max.
     # "static": the max is replaced by a precomputed per-row upper bound C_i
     # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
@@ -329,6 +335,11 @@ def _attn_kernel(
     elif cfg.causal:
         q_start = kv_start = 0
         run = (j * BK) <= (i * BQ + BQ - 1)
+        if cfg.window:
+            # major tile participates iff its last kv position is inside
+            # the widest window any of the tile's rows can see
+            run = jnp.logical_and(
+                run, (j * BK + BK - 1) >= (i * BQ - cfg.window + 1))
     else:
         q_start = kv_start = None
         # skip kv blocks entirely past the true length (their DMA is also
@@ -412,7 +423,11 @@ def _attn_kernel(
                         + i * BQ + q_start)
                 cols = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1)
                         + col0 + kv_start)
-                s = jnp.where(cols <= rows, s, MASK_NEG)
+                keep = cols <= rows
+                if cfg.window:
+                    keep = jnp.logical_and(keep,
+                                           cols >= rows - (cfg.window - 1))
+                s = jnp.where(keep, s, MASK_NEG)
             if cfg.segmented:
                 q_seg = q_seg_ref[0]                    # (BQ, 1) int32
                 kv_seg = kv_seg_ref[0, :, sl]           # (1, BKI) int32
@@ -501,6 +516,14 @@ def _attn_kernel(
                 last_q = first_q + BQ - 1
                 sub_run = first_kv <= last_q
                 full = last_kv <= first_q
+                if cfg.window:
+                    # window lower bound: skip sub-tiles entirely below
+                    # every row's window; mask unless the sub-tile is also
+                    # fully inside the NARROWEST row's window
+                    sub_run = jnp.logical_and(
+                        sub_run, last_kv >= first_q - (cfg.window - 1))
+                    full = jnp.logical_and(
+                        full, first_kv >= last_q - (cfg.window - 1))
                 tail = cfg.kv_len_dynamic or (
                     (not static_causal) and has_tail)
                 pl.when(jnp.logical_and(sub_run, full))(
@@ -586,9 +609,16 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
     else:
         if cfg.causal and not cfg.causal_dynamic:
             # static diagonal: clamp the kv block index so above-diagonal
-            # grid steps re-use the resident block (no DMA)
-            def _j(i, j):
-                return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
+            # (and, with a sliding window, below-window) grid steps re-use
+            # the resident block (no DMA)
+            if cfg.window:
+                def _j(i, j):
+                    hi = ((i + 1) * BQ - 1) // BK
+                    lo = jnp.maximum(i * BQ - cfg.window + 1, 0) // BK
+                    return jnp.minimum(jnp.maximum(j, lo), hi)
+            else:
+                def _j(i, j):
+                    return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
         elif not cfg.causal and cfg.kv_len < Sk:
             # clamp past-the-end blocks to the last live one
             last_live = (cfg.kv_len - 1) // BK
@@ -675,6 +705,12 @@ def attention_call(
             "k_head_scale iff fold_k_scale under fuse_q_quant"
         assert jnp.issubdtype(q.dtype, jnp.floating), q.dtype
         assert q_scale is None, "fuse_q_quant quantizes Q in-kernel"
+    if cfg.window:
+        assert cfg.causal and not cfg.causal_dynamic, \
+            "sliding window needs static causal (row positions are grid-static)"
+        assert cfg.masked == "none" and not cfg.segmented, \
+            "sliding window composes with neither user masks nor varlen segments"
+        assert cfg.window >= 1
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"
         assert kn_max is not None, "softmax_mode='static' needs kn_max"

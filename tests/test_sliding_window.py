@@ -1,0 +1,77 @@
+"""Sliding-window (local) causal attention vs a band-masked fp32 oracle.
+
+The window is enforced at three levels — index-map DMA clamp, sub-tile
+skip, in-tile mask — so the oracle comparison over unaligned sizes and
+window widths that straddle block boundaries covers all of them.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import sageattention_tpu as sa
+from sageattention_tpu.ops.reference import sdpa
+from sageattention_tpu.utils.testing import calc_diff
+
+
+def qkv(B=1, H=2, S=512, D=64, seed=0):
+    r = jax.random.split(jax.random.PRNGKey(seed), 3)
+    return tuple(jax.random.normal(kk, (B, H, S, D), jnp.float32)
+                 for kk in r)
+
+
+def band_ref(q, k, v, window):
+    S = q.shape[2]
+    rows = jnp.arange(S)[:, None]
+    cols = jnp.arange(S)[None, :]
+    mask = (cols <= rows) & (cols >= rows - (window - 1))
+    return sdpa(q, k, v, mask=mask[None, None])
+
+
+class TestSlidingWindow:
+    @pytest.mark.parametrize("window", [128, 200, 512])
+    def test_quantized_matches_band_oracle(self, window):
+        q, k, v = qkv(S=512)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=window)
+        assert calc_diff(out, band_ref(q, k, v, window)) < 1e-3
+
+    def test_unaligned_seq(self):
+        q, k, v = qkv(S=700, seed=1)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=300)
+        assert calc_diff(out, band_ref(q, k, v, 300)) < 1e-3
+
+    def test_window_wider_than_seq_is_causal(self):
+        q, k, v = qkv(S=256, seed=2)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=4096)
+        assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+    def test_online_softmax_path(self):
+        q, k, v = qkv(S=512, seed=3)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=256,
+                          softmax_mode="online")
+        assert calc_diff(out, band_ref(q, k, v, 256)) < 1e-3
+
+    def test_flash_baseline_window(self):
+        q, k, v = qkv(S=512, seed=4)
+        out = sa.flash_attention(q, k, v, is_causal=True, sliding_window=256)
+        assert calc_diff(out, band_ref(q, k, v, 256)) < 2e-5
+
+    def test_narrow_window_on_long_seq(self):
+        # many fully-skipped blocks on both sides of the band
+        q, k, v = qkv(S=2048, seed=5)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=128)
+        assert calc_diff(out, band_ref(q, k, v, 128)) < 1e-3
+
+    def test_grad_raises_loudly(self):
+        q, k, v = qkv(S=256, seed=6)
+        f = lambda q: jnp.sum(sa.sageattn(q, k, v, is_causal=True,
+                                          sliding_window=128) ** 2)
+        with pytest.raises(NotImplementedError, match="sliding_window"):
+            jax.grad(f)(q)
+
+    def test_requires_causal(self):
+        q, k, v = qkv(S=256, seed=7)
+        with pytest.raises(ValueError, match="is_causal"):
+            sa.sageattn(q, k, v, sliding_window=128)
+        with pytest.raises(ValueError, match="is_causal"):
+            sa.flash_attention(q, k, v, sliding_window=128)

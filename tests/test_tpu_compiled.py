@@ -113,6 +113,17 @@ class TestCompiledForward:
         assert float(jnp.max(jnp.abs(lse - lse_ref))) < 2e-2
 
 
+class TestCompiledSlidingWindow:
+    def test_band_matches_oracle(self):
+        q, k, v = mk(Sq=1024, Sk=1024, D=64, key=18)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=300)
+        S = 1024
+        rows = jnp.arange(S)[:, None]
+        cols = jnp.arange(S)[None, :]
+        band = ((cols <= rows) & (cols >= rows - 299))[None, None]
+        assert calc_diff(out, sdpa(q, k, v, mask=band)) < 1e-3
+
+
 class TestCompiledLowbit:
     def test_sageattn3_tiled_compiles(self):
         # the p_sim_fp4 kernel path (in-kernel e2m1 P requant) — interpret

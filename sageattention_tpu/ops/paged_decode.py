@@ -49,6 +49,9 @@ _TQ = 32  # q-tile rows (>= bf16 sublane tile; holds a GQA fold or a window)
 def _paged_kernel(
     table_ref,    # [B, max_pages] int32 (scalar prefetch; index maps + body)
     len_ref,      # [B] int32 (scalar prefetch)
+    page0_ref,    # [B] int32: first streamed logical page (sliding window
+    #               shifts the stream start per sequence; 0 otherwise)
+    lo_ref,       # [B] int32: window lower bound position (0 = none)
     q_ref,        # (1, 1, TQ, D) bf16 — sm_scale*log2e folded by the host
     k_ref,        # (1, 1, page, D) int8 codes (centered)
     ks_ref,       # (1, 1, 1, page) f32 per-token scales
@@ -61,6 +64,7 @@ def _paged_kernel(
     n_pages: int,
     page: int,
     window: int,   # T: rows are a causal window of T fresh tokens (1 = none)
+    sliding: bool,  # window lower-bound masking active (lo_ref is live)
 ):
     b = pl.program_id(0)
     jp = pl.program_id(2)
@@ -72,9 +76,12 @@ def _paged_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    tok0 = jp * page
+    tok0 = (jp + page0_ref[b]) * page
+    run = tok0 < seq_len
+    if sliding:
+        run = jnp.logical_and(run, tok0 + page > lo_ref[b])
 
-    @pl.when(tok0 < seq_len)
+    @pl.when(run)
     def _body():
         q = q_ref[0, 0]                                   # (TQ, D) bf16
         k = k_ref[0, 0].astype(jnp.bfloat16)              # codes exact
@@ -96,7 +103,10 @@ def _paged_kernel(
             # the predicate all-true and the select folds to a no-op cheaply
             # relative to the page-wide dot (decode is DMA-bound anyway).
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + tok0
-            s = jnp.where(cols < seq_len, s, MASK_NEG)
+            keep = cols < seq_len
+            if sliding:
+                keep = jnp.logical_and(keep, cols >= lo_ref[b])
+            s = jnp.where(keep, s, MASK_NEG)
 
         m_prev = m_scr[...]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -135,6 +145,8 @@ def paged_decode_call(
     *,
     n_pages: int,     # static page budget (<= max_pages): the DMA bucket
     window: int,      # T>1 causal window; 1 for plain decode
+    page0=None,       # [B] int32 sliding-window stream start (logical page)
+    win_lo=None,      # [B] int32 sliding-window lower bound position
     interpret: bool = False,
 ):
     """Launch the paged decode kernel.  ``Hg`` is the grid's head count:
@@ -146,11 +158,16 @@ def paged_decode_call(
     assert Hg % Hk == 0
     G = Hg // Hk
     assert n_pages <= table_eff.shape[1], (n_pages, table_eff.shape)
+    sliding = win_lo is not None
+    if page0 is None:
+        page0 = jnp.zeros((B,), jnp.int32)
+    if win_lo is None:
+        win_lo = jnp.zeros((B,), jnp.int32)
 
-    def kv_im(b, h, jp, table, lens):
+    def kv_im(b, h, jp, table, *_):
         return (table[b, jp], h // G, 0, 0)
 
-    def ks_im(b, h, jp, table, lens):
+    def ks_im(b, h, jp, table, *_):
         return (table[b, jp], h // G, 0, 0)
 
     grid = (B, Hg, n_pages)
@@ -163,11 +180,11 @@ def paged_decode_call(
         pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0)),
     ]
     kernel = functools.partial(_paged_kernel, n_pages=n_pages, page=page,
-                               window=window)
+                               window=window, sliding=sliding)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, TQ, D),
@@ -185,4 +202,5 @@ def paged_decode_call(
         ),
         interpret=interpret,
     )(table_eff.astype(jnp.int32), lengths.astype(jnp.int32),
+      page0.astype(jnp.int32), win_lo.astype(jnp.int32),
       q, k8_pool, ks_pool, v_pool, v_scale, v_mean)

@@ -371,6 +371,7 @@ def sageattn_decode_paged(
     sm_scale: Optional[float] = None,
     pages_bucket: int = 0,
     is_causal: bool = True,
+    sliding_window: int = 0,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Attention of ``T`` fresh tokens per sequence against the paged pool.
@@ -379,6 +380,12 @@ def sageattn_decode_paged(
     position ``lengths[b] - T + t`` (append first, then decode).
     ``pages_bucket`` statically bounds the per-sequence page stream
     (0 = the table's full width); pick with :func:`pages_bucket_for`.
+
+    ``sliding_window``: attend only the last ``W`` tokens (SWA-model
+    serving, T=1 only).  Zero-copy: the window start shifts each
+    sequence's page-table slots via scalar prefetch, so the kernel streams
+    ceil(W/page)+1 pages per sequence regardless of how long the cache has
+    grown — decode cost stays O(W).
 
     Returns [B, Hq, T, D] bf16 in the input layout.
     """
@@ -404,6 +411,12 @@ def sageattn_decode_paged(
     if n_pages > max_pages:
         raise ValueError(f"pages_bucket ({n_pages}) > table width "
                          f"({max_pages})")
+    if sliding_window:
+        if T != 1:
+            raise ValueError("sliding_window decode supports T=1 (chunk "
+                             "verify windows are full-attention)")
+        # the stream covers at most ceil(W/page)+1 pages per sequence
+        n_pages = min(n_pages, -(-sliding_window // page) + 1)
     G = Hq // Hk
 
     # fold GQA heads into tile rows at T=1 (KV stream fetched once per KV
@@ -419,10 +432,19 @@ def sageattn_decode_paged(
 
     # clamp dead table slots to each sequence's last live page: consecutive
     # grid steps then fetch the same physical block and Mosaic skips the
-    # DMA (the bool-mask remap trick, `ops/attention.py:574-585`).
+    # DMA (the bool-mask remap trick, `ops/attention.py:574-585`).  With a
+    # sliding window the slots also SHIFT by each sequence's window-start
+    # page, so logical stream page j is physical table[b, page0_b + j].
     last_live = jnp.maximum(cache.lengths - 1, 0) // page   # [B]
-    slot = jnp.minimum(jnp.arange(max_pages)[None, :], last_live[:, None])
-    table_eff = jnp.take_along_axis(cache.page_table, slot, axis=1)
+    page0 = win_lo = None
+    slot = jnp.arange(max_pages)[None, :]
+    if sliding_window:
+        win_lo = jnp.maximum(cache.lengths - sliding_window, 0)   # [B]
+        page0 = win_lo // page
+        slot = slot + page0[:, None]
+    slot = jnp.minimum(slot, last_live[:, None])
+    table_eff = jnp.take_along_axis(
+        cache.page_table, jnp.minimum(slot, max_pages - 1), axis=1)
 
     out = paged_decode_call(
         qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
@@ -430,6 +452,7 @@ def sageattn_decode_paged(
         table_eff, cache.lengths,
         n_pages=n_pages,
         window=T if (is_causal and T > 1) else 1,
+        page0=page0, win_lo=win_lo,
         interpret=interpret,
     )
     out = out[:, :, :rows]

@@ -209,6 +209,51 @@ class TestPagedDecode:
             assert calc_diff(out[b], ref) < BAR, b
 
 
+class TestSlidingWindowDecode:
+    def _swa_oracle(self, q, k, v, length, W):
+        lo = max(0, length - W)
+        Hq, Hk = q.shape[0], k.shape[0]
+        G = Hq // Hk
+        ke = jnp.repeat(k[:, lo:length], G, axis=0)[None]
+        ve = jnp.repeat(v[:, lo:length], G, axis=0)[None]
+        return sdpa(q[None], ke, ve)[0]
+
+    @pytest.mark.parametrize("W", [100, 256, 300])
+    def test_window_matches_cropped_oracle(self, W):
+        B, Hq, Hk, D = 2, 4, 2, 64
+        lengths = [520, 380]
+        k, v, _ = _mk_ragged(B, Hk, lengths, D, seed=8, s_pad=768)
+        cache, _, _ = _build(k, v, lengths, shuffle_seed=3)
+        q = jax.random.normal(jax.random.PRNGKey(10), (B, Hq, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, sliding_window=W,
+                                    interpret=True)
+        for b in range(B):
+            ref = self._swa_oracle(q[b], k[b], v[b], lengths[b], W)
+            assert calc_diff(out[b], ref) < BAR, (W, b)
+
+    def test_window_wider_than_cache_is_full(self):
+        B, H, D = 1, 2, 64
+        lengths = [300]
+        k, v, _ = _mk_ragged(B, H, lengths, D, seed=9)
+        cache, _, _ = _build(k, v, lengths)
+        q = jax.random.normal(jax.random.PRNGKey(11), (B, H, 1, D),
+                              jnp.float32)
+        out_w = sageattn_decode_paged(q, cache, sliding_window=4096,
+                                      interpret=True)
+        out_f = sageattn_decode_paged(q, cache, interpret=True)
+        assert calc_diff(out_w, out_f) < 1e-6
+
+    def test_window_rejects_multi_token(self):
+        B, H, D = 1, 2, 64
+        k, v, _ = _mk_ragged(B, H, [300], D)
+        cache, _, _ = _build(k, v, [300])
+        q = jnp.zeros((B, H, 4, D))
+        with pytest.raises(ValueError, match="T=1"):
+            sageattn_decode_paged(q, cache, sliding_window=128,
+                                  interpret=True)
+
+
 class TestAllocator:
     def test_refcounted_release(self):
         alloc = PageAllocator(4, PAGE)

@@ -174,6 +174,61 @@ def main():
     print(f"{'varlen mismatched packs, static (post-hoc)':<52} "
           f"diff={d:.2e}  bar=1e-03  {'OK' if ok else 'FAIL'}", flush=True)
 
+    # 6. r3 serving features: sliding window, dense decode, paged decode
+    q, k, v = mk(S=4096, key=10)
+    rows_i = jnp.arange(4096)[:, None]
+    cols_i = jnp.arange(4096)[None, :]
+    band = ((cols_i <= rows_i) & (cols_i >= rows_i - 1023))[None, None]
+    row("sliding window W=1024 causal", q, k, v, mask=band,
+        is_causal=True, sliding_window=1024)
+
+    from sageattention_tpu import decode as dec
+    q1, kd, vd = mk(Hq=8, Hk=2, S=1, Sk=5000, key=11)
+    cache = dec.kv_cache_init(kd, vd, max_len=5120)
+    out = jax.jit(lambda a, c: dec.sageattn_decode(a, c))(q1, cache)
+    ref = sdpa(q1, jnp.repeat(kd, 4, 1), jnp.repeat(vd, 4, 1))
+    d = float(calc_diff(out, ref))
+    ok = d < 2e-3
+    if not ok:
+        FAILS.append("decode")
+    print(f"{'int8-cache decode T=1 GQA S5000':<52} diff={d:.2e}  "
+          f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
+    from sageattention_tpu.paged import (
+        PageAllocator, build_table, paged_prefill, sageattn_decode_paged)
+    PAGE = 256
+    lens = [5000, 3000]
+    q2, kp2, vp2 = mk(B=2, Hq=8, Hk=2, S=1, Sk=5120, key=12)
+    alloc = PageAllocator(64, PAGE)
+    table = build_table([alloc.reserve(20)[::-1], alloc.reserve(20)],
+                        max_pages=20)
+    pc = paged_prefill(kp2, vp2, jnp.asarray(lens), table, num_pages=64)
+    out = jax.jit(lambda a, c: sageattn_decode_paged(a, c))(q2, pc)
+    d = 0.0
+    for b, L in enumerate(lens):
+        refb = sdpa(q2[b:b + 1], jnp.repeat(kp2[b:b + 1, :, :L], 4, 1),
+                    jnp.repeat(vp2[b:b + 1, :, :L], 4, 1))
+        d = max(d, float(calc_diff(out[b:b + 1], refb)))
+    ok = d < 2e-3
+    if not ok:
+        FAILS.append("paged-decode")
+    print(f"{'paged decode ragged 2-seq shuffled tables':<52} diff={d:.2e}  "
+          f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
+    out = jax.jit(lambda a, c: sageattn_decode_paged(
+        a, c, sliding_window=1024))(q2, pc)
+    d = 0.0
+    for b, L in enumerate(lens):
+        lo = max(0, L - 1024)
+        refb = sdpa(q2[b:b + 1], jnp.repeat(kp2[b:b + 1, :, lo:L], 4, 1),
+                    jnp.repeat(vp2[b:b + 1, :, lo:L], 4, 1))
+        d = max(d, float(calc_diff(out[b:b + 1], refb)))
+    ok = d < 2e-3
+    if not ok:
+        FAILS.append("paged-swa-decode")
+    print(f"{'paged decode sliding window W=1024':<52} diff={d:.2e}  "
+          f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
     print(f"MATRIX {'PASS' if not FAILS else 'FAIL: ' + ', '.join(FAILS)}",
           flush=True)
     return 1 if FAILS else 0

@@ -48,10 +48,19 @@ def sage_dot_product_attention(
 
     Inputs are NHD ([batch, seq, heads, head_dim]) like jax.nn's contract.
     ``mask`` (bool keep-mask) and ``bias`` (additive) map onto the kernel's
-    attn_mask path; unsupported combinations (both at once, seq-lengths,
-    local windowing) fall back to the exact jax.nn implementation — the
-    reference similarly limits masked models (`example/hunyuan_infer.py:6-12`).
+    attn_mask path; causal ``local_window_size=(left, 0)`` maps onto the
+    kernel's sliding-window band (r3); unsupported combinations (both masks
+    at once, seq-lengths, non-causal windows) fall back to the exact jax.nn
+    implementation — the reference similarly limits masked models
+    (`example/hunyuan_infer.py:6-12`).
     """
+    sliding = 0
+    if local_window_size is not None:
+        lw = (local_window_size if isinstance(local_window_size, (tuple, list))
+              else (local_window_size, local_window_size))
+        if (is_causal and lw[1] == 0 and mask is None and bias is None):
+            sliding = int(lw[0]) + 1     # row attends [r-left, r]
+            local_window_size = None
     unsupported = ((bias is not None and mask is not None)
                    or query_seq_lengths is not None
                    or key_value_seq_lengths is not None
@@ -71,7 +80,7 @@ def sage_dot_product_attention(
             m, (B, m.shape[1] if m.ndim == 4 and m.shape[1] != 1 else 1, Sq, Sk))
     return sageattn(query, key, value, tensor_layout="NHD",
                     is_causal=is_causal, sm_scale=scale, attn_mask=attn_mask,
-                    **kwargs)
+                    sliding_window=sliding, **kwargs)
 
 
 def layered_attention(default_fn=None, overrides=None, skip_layers=()):

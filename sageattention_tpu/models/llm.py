@@ -25,6 +25,7 @@ class LlamaConfig:
     vocab: int = 1024
     mlp_ratio: float = 2.7
     rope_theta: float = 10000.0
+    sliding_window: int = 0   # Mistral/Gemma2-class local attention (0 = full)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -101,18 +102,28 @@ class LlamaBlock(nn.Module):
         k = rope(k.reshape(B, S, cfg.kv_heads, cfg.head_dim), cfg.rope_theta,
                  pos=pos)
         v = v.reshape(B, S, cfg.kv_heads, cfg.head_dim)
+        W = cfg.sliding_window
         if isinstance(cache, pg.PagedKVCache):
+            if W and S > 1:
+                raise ValueError("sliding-window decode is T=1; chunk the "
+                                 "window")
             cache = pg.paged_append(cache, k, v, tensor_layout="NHD",
                                     active=active)
             o = pg.sageattn_decode_paged(q, cache, tensor_layout="NHD",
-                                         pages_bucket=bucket)
+                                         pages_bucket=bucket,
+                                         sliding_window=W)
         elif cache is not None:
+            if W:
+                raise ValueError("sliding-window serving needs the paged "
+                                 "cache (paged_spec=...); the dense cache "
+                                 "streams the full prefix")
             cache = dec.kv_cache_append(cache, k, v, tensor_layout="NHD")
             o = dec.sageattn_decode(q, cache, tensor_layout="NHD",
                                     bucket=bucket)
         else:
             attn = self.attn_fn or jax.nn.dot_product_attention
-            o = attn(q, k, v, is_causal=True)
+            o = attn(q, k, v, is_causal=True,
+                     **({"local_window_size": (W - 1, 0)} if W else {}))
             if paged_spec is not None:
                 cache = pg.paged_prefill(
                     k, v, paged_spec["lengths"], paged_spec["page_table"],

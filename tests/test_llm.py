@@ -118,6 +118,36 @@ def test_llm_paged_ragged_decode():
     assert [int(x) for x in caches[0].lengths] == cur
 
 
+def test_llm_sliding_window_paged_decode():
+    """A sliding-window model (Mistral-style): paged prefill + windowed
+    decode must match the no-cache forward, whose prefill attention uses
+    jax.nn's local_window_size as the exact oracle."""
+    from sageattention_tpu.paged import PageAllocator, build_table
+
+    W, PAGE, T = 128, 256, 2
+    cfg = LlamaConfig(hidden=256, heads=4, kv_heads=2, depth=2,
+                      vocab=CFG.vocab, sliding_window=W)
+    tokens = jax.random.randint(jax.random.PRNGKey(13), (1, PAGE + T), 0,
+                                cfg.vocab)
+    model = LlamaLM(cfg)
+    params = model.init(jax.random.PRNGKey(14), tokens[:, :PAGE])
+
+    alloc = PageAllocator(8, PAGE)
+    table = build_table([alloc.reserve(2)], max_pages=2)
+    spec = dict(num_pages=8, page_table=table,
+                lengths=jnp.asarray([PAGE], jnp.int32))
+    logits, caches = model.apply(params, tokens[:, :PAGE], paged_spec=spec)
+    full = model.apply(params, tokens[:, :PAGE])
+    assert calc_diff(logits, full) < 1e-6  # prefill math unchanged
+
+    for t in range(T):
+        cur = PAGE + t
+        step, caches = model.apply(params, tokens[:, cur:cur + 1],
+                                   caches=caches, pos=cur)
+        oracle = model.apply(params, tokens[:, :cur + 1])
+        assert calc_diff(step[:, 0], oracle[:, -1]) < 3e-3, t
+
+
 def test_llm_cached_decode_multi_token():
     """A T>1 decode window (chunked prefill continuation) matches the full
     forward for every position in the window."""

@@ -49,8 +49,9 @@ _TQ = 32  # q-tile rows (>= bf16 sublane tile; holds a GQA fold or a window)
 def _paged_kernel(
     table_ref,    # [B, max_pages] int32 (scalar prefetch; index maps + body)
     len_ref,      # [B] int32 (scalar prefetch)
-    page0_ref,    # [B] int32: first streamed logical page (sliding window
-    #               shifts the stream start per sequence; 0 otherwise)
+    lpage_ref,    # [B, max_pages] int32: LOGICAL page per grid step — the
+    #               position math's counterpart of table_ref's physical ids
+    #               (identity for plain decode; window/sink streams reorder)
     lo_ref,       # [B] int32: window lower bound position (0 = none)
     q_ref,        # (1, 1, TQ, D) bf16 — sm_scale*log2e folded by the host
     k_ref,        # (1, 1, page, D) int8 codes (centered)
@@ -65,10 +66,15 @@ def _paged_kernel(
     page: int,
     window: int,   # T: rows are a causal window of T fresh tokens (1 = none)
     sliding: bool,  # window lower-bound masking active (lo_ref is live)
+    sinks: int,     # StreamingLLM attention sinks: the first `sinks` tokens
+    #                 stay visible; grid steps jp < ceil(sinks/page) stream
+    #                 the sink pages, the rest stream the window (disjoint
+    #                 by construction: the wrapper raises lo to >= sinks)
 ):
     b = pl.program_id(0)
     jp = pl.program_id(2)
     seq_len = len_ref[b]
+    sink_pages = -(-sinks // page) if sinks else 0
 
     @pl.when(jp == 0)
     def _init():
@@ -76,10 +82,13 @@ def _paged_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    tok0 = (jp + page0_ref[b]) * page
+    tok0 = lpage_ref[b, jp] * page
     run = tok0 < seq_len
     if sliding:
-        run = jnp.logical_and(run, tok0 + page > lo_ref[b])
+        in_band = tok0 + page > lo_ref[b]
+        if sinks:
+            in_band = jnp.logical_or(in_band, jp < sink_pages)
+        run = jnp.logical_and(run, in_band)
 
     @pl.when(run)
     def _body():
@@ -104,7 +113,14 @@ def _paged_kernel(
             # relative to the page-wide dot (decode is DMA-bound anyway).
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + tok0
             keep = cols < seq_len
-            if sliding:
+            if sliding and sinks:
+                # sink slots keep [0, sinks); window slots keep [lo, len) —
+                # the wrapper guarantees lo >= sinks, so no token is
+                # softmax-counted twice even when the regions touch
+                keep = jnp.logical_and(
+                    keep, jnp.where(jp < sink_pages, cols < sinks,
+                                    cols >= lo_ref[b]))
+            elif sliding:
                 keep = jnp.logical_and(keep, cols >= lo_ref[b])
             s = jnp.where(keep, s, MASK_NEG)
 
@@ -145,8 +161,9 @@ def paged_decode_call(
     *,
     n_pages: int,     # static page budget (<= max_pages): the DMA bucket
     window: int,      # T>1 causal window; 1 for plain decode
-    page0=None,       # [B] int32 sliding-window stream start (logical page)
+    lpage=None,       # [B, max_pages] int32 logical page per grid step
     win_lo=None,      # [B] int32 sliding-window lower bound position
+    sinks: int = 0,   # StreamingLLM sink tokens (sliding mode only)
     interpret: bool = False,
 ):
     """Launch the paged decode kernel.  ``Hg`` is the grid's head count:
@@ -159,8 +176,10 @@ def paged_decode_call(
     G = Hg // Hk
     assert n_pages <= table_eff.shape[1], (n_pages, table_eff.shape)
     sliding = win_lo is not None
-    if page0 is None:
-        page0 = jnp.zeros((B,), jnp.int32)
+    if lpage is None:
+        lpage = jnp.broadcast_to(jnp.arange(table_eff.shape[1],
+                                            dtype=jnp.int32)[None],
+                                 table_eff.shape)
     if win_lo is None:
         win_lo = jnp.zeros((B,), jnp.int32)
 
@@ -180,7 +199,7 @@ def paged_decode_call(
         pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0)),
     ]
     kernel = functools.partial(_paged_kernel, n_pages=n_pages, page=page,
-                               window=window, sliding=sliding)
+                               window=window, sliding=sliding, sinks=sinks)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -202,5 +221,5 @@ def paged_decode_call(
         ),
         interpret=interpret,
     )(table_eff.astype(jnp.int32), lengths.astype(jnp.int32),
-      page0.astype(jnp.int32), win_lo.astype(jnp.int32),
+      lpage.astype(jnp.int32), win_lo.astype(jnp.int32),
       q, k8_pool, ks_pool, v_pool, v_scale, v_mean)

@@ -372,6 +372,7 @@ def sageattn_decode_paged(
     pages_bucket: int = 0,
     is_causal: bool = True,
     sliding_window: int = 0,
+    attention_sinks: int = 0,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Attention of ``T`` fresh tokens per sequence against the paged pool.
@@ -385,7 +386,10 @@ def sageattn_decode_paged(
     serving, T=1 only).  Zero-copy: the window start shifts each
     sequence's page-table slots via scalar prefetch, so the kernel streams
     ceil(W/page)+1 pages per sequence regardless of how long the cache has
-    grown — decode cost stays O(W).
+    grown — decode cost stays O(W).  ``attention_sinks``: additionally
+    keep the FIRST ``n`` tokens visible (StreamingLLM): their pages ride
+    the same stream ahead of the window slots, masked to [0, sinks) so no
+    token is counted twice when the regions touch.
 
     Returns [B, Hq, T, D] bf16 in the input layout.
     """
@@ -411,12 +415,18 @@ def sageattn_decode_paged(
     if n_pages > max_pages:
         raise ValueError(f"pages_bucket ({n_pages}) > table width "
                          f"({max_pages})")
+    if attention_sinks and not sliding_window:
+        raise ValueError("attention_sinks needs sliding_window (full "
+                         "attention already sees the sinks)")
+    sink_pages = 0
     if sliding_window:
         if T != 1:
             raise ValueError("sliding_window decode supports T=1 (chunk "
                              "verify windows are full-attention)")
-        # the stream covers at most ceil(W/page)+1 pages per sequence
-        n_pages = min(n_pages, -(-sliding_window // page) + 1)
+        sink_pages = -(-attention_sinks // page) if attention_sinks else 0
+        # the stream covers sink pages + at most ceil(W/page)+1 band pages
+        n_pages = min(n_pages,
+                      sink_pages + (-(-sliding_window // page)) + 1)
     G = Hq // Hk
 
     # fold GQA heads into tile rows at T=1 (KV stream fetched once per KV
@@ -436,15 +446,25 @@ def sageattn_decode_paged(
     # sliding window the slots also SHIFT by each sequence's window-start
     # page, so logical stream page j is physical table[b, page0_b + j].
     last_live = jnp.maximum(cache.lengths - 1, 0) // page   # [B]
-    page0 = win_lo = None
-    slot = jnp.arange(max_pages)[None, :]
+    lpage = win_lo = None
+    slot = jnp.broadcast_to(jnp.arange(max_pages)[None, :],
+                            (B, max_pages))
     if sliding_window:
         win_lo = jnp.maximum(cache.lengths - sliding_window, 0)   # [B]
-        page0 = win_lo // page
-        slot = slot + page0[:, None]
-    slot = jnp.minimum(slot, last_live[:, None])
-    table_eff = jnp.take_along_axis(
-        cache.page_table, jnp.minimum(slot, max_pages - 1), axis=1)
+        if attention_sinks:
+            # disjoint decomposition: sinks own [0, sinks), the band owns
+            # [max(lo, sinks), len) — the kernel masks each slot type to
+            # its own region
+            win_lo = jnp.maximum(win_lo, attention_sinks)
+        band = ((win_lo // page)[:, None]
+                + jnp.arange(max_pages - sink_pages)[None, :])
+        slot = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(sink_pages)[None, :],
+                              (B, sink_pages)), band], axis=1)
+        lpage = slot
+    slot_c = jnp.minimum(jnp.minimum(slot, last_live[:, None]),
+                         max_pages - 1)
+    table_eff = jnp.take_along_axis(cache.page_table, slot_c, axis=1)
 
     out = paged_decode_call(
         qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
@@ -452,7 +472,7 @@ def sageattn_decode_paged(
         table_eff, cache.lengths,
         n_pages=n_pages,
         window=T if (is_causal and T > 1) else 1,
-        page0=page0, win_lo=win_lo,
+        lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
         interpret=interpret,
     )
     out = out[:, :, :rows]

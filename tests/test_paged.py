@@ -244,6 +244,41 @@ class TestSlidingWindowDecode:
         out_f = sageattn_decode_paged(q, cache, interpret=True)
         assert calc_diff(out_w, out_f) < 1e-6
 
+    def _sink_oracle(self, q, k, v, length, W, sinks):
+        lo = max(max(0, length - W), sinks)
+        Hq, Hk = q.shape[0], k.shape[0]
+        G = Hq // Hk
+        kv = jnp.concatenate([k[:, :min(sinks, length)], k[:, lo:length]], 1)
+        vv = jnp.concatenate([v[:, :min(sinks, length)], v[:, lo:length]], 1)
+        return sdpa(q[None], jnp.repeat(kv, G, 0)[None],
+                    jnp.repeat(vv, G, 0)[None])[0]
+
+    @pytest.mark.parametrize("sinks", [4, 100, 256])
+    def test_attention_sinks(self, sinks):
+        """StreamingLLM: first `sinks` tokens stay visible alongside the
+        band — incl. a sink region overlapping the window (len 380 W 300:
+        lo=80 < sinks=100/256 exercises the disjoint decomposition)."""
+        B, Hq, Hk, D, W = 2, 4, 2, 64, 300
+        lengths = [520, 380]
+        k, v, _ = _mk_ragged(B, Hk, lengths, D, seed=12, s_pad=768)
+        cache, _, _ = _build(k, v, lengths, shuffle_seed=4)
+        q = jax.random.normal(jax.random.PRNGKey(13), (B, Hq, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache, sliding_window=W,
+                                    attention_sinks=sinks, interpret=True)
+        for b in range(B):
+            ref = self._sink_oracle(q[b], k[b], v[b], lengths[b], W, sinks)
+            assert calc_diff(out[b], ref) < BAR, (sinks, b)
+
+    def test_sinks_require_window(self):
+        B, H, D = 1, 2, 64
+        k, v, _ = _mk_ragged(B, H, [300], D)
+        cache, _, _ = _build(k, v, [300])
+        q = jnp.zeros((B, H, 1, D))
+        with pytest.raises(ValueError, match="sliding_window"):
+            sageattn_decode_paged(q, cache, attention_sinks=4,
+                                  interpret=True)
+
     def test_window_rejects_multi_token(self):
         B, H, D = 1, 2, 64
         k, v, _ = _mk_ragged(B, H, [300], D)

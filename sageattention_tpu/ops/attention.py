@@ -708,8 +708,12 @@ def attention_call(
     if cfg.window:
         assert cfg.causal and not cfg.causal_dynamic, \
             "sliding window needs static causal (row positions are grid-static)"
-        assert cfg.masked == "none" and not cfg.segmented, \
-            "sliding window composes with neither user masks nor varlen segments"
+        assert cfg.masked == "none", \
+            "sliding window composes with no user attn_mask"
+        # segmented IS allowed: causal varlen requires identical q/k
+        # packings, under which the global band equals each segment's own
+        # band (both offsets share the segment start) and cross-segment
+        # pairs are killed by the segment mask regardless
         assert cfg.window >= 1
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"

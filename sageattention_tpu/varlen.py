@@ -61,6 +61,7 @@ def sageattn_varlen(
     softmax_mode: str = "auto",
     return_lse: bool = False,
     attn_mask=None,
+    sliding_window: int = 0,
     **kwargs: Any,
 ):
     """Ragged-batch SageAttention.
@@ -82,6 +83,16 @@ def sageattn_varlen(
     del max_seqlen_q, max_seqlen_k
     Tq, Hq, D_og = q.shape
     Tk, Hk, _ = k.shape
+    if sliding_window:
+        # identical q/k packings (enforced below for causal) make the
+        # GLOBAL band equal to every segment's own band: both the row and
+        # column offsets share the segment start, and cross-segment pairs
+        # die on the segment mask anyway — so chunked prefill of
+        # SWA models packs like any other varlen batch
+        if not is_causal:
+            raise ValueError("sliding_window requires is_causal=True")
+        if attn_mask is not None:
+            raise ValueError("sliding_window composes with no attn_mask")
     if is_causal:
         # per-sequence causal == global-causal AND same-segment only holds
         # when the q and k packings are identical (reference requires
@@ -272,7 +283,7 @@ def sageattn_varlen(
             softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
             block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
             Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
-            fuse_qq=fuse_qq)
+            fuse_qq=fuse_qq, sliding_window=sliding_window)
 
     if fuse_qq and fold_k:
         q_i8 = q_scale = None  # quantized inside the attention kernel
@@ -340,7 +351,8 @@ def sageattn_varlen(
         block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
         Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
         fuse_qq=fuse_qq,
-        k_row_scale=k_row_scale if (fuse_qq and fold_k) else None)
+        k_row_scale=k_row_scale if (fuse_qq and fold_k) else None,
+        sliding_window=sliding_window)
 
 
 def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
@@ -348,7 +360,8 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
                    softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
                    block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
                    Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
-                   fuse_qq=False, k_row_scale=None):
+                   fuse_qq=False, k_row_scale=None,
+                   sliding_window=0):
     """Shared varlen tail: mask prep, static-softmax safety, kernel call,
     unpacking.  ``qn2``/``diag_dot``/``kn_max_raw`` are the fused quant
     kernels' safety statistics (row sq-norms, row diagonal dots, K-side
@@ -382,6 +395,7 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
             fuse_q_quant=fuse_qq, fuse_k_rows=(fuse_qq and fold_k),
             sm_scale=sm_scale,
             q_len=(Tq if (fuse_qq and Tq_pad != Tq) else 0),
+            window=sliding_window,
         )
 
     kn_max_in = None

@@ -62,6 +62,23 @@ class TestSlidingWindow:
         out = sa.sageattn(q, k, v, is_causal=True, sliding_window=128)
         assert calc_diff(out, band_ref(q, k, v, 128)) < 1e-3
 
+    def test_varlen_chunked_prefill(self):
+        """SWA chunked prefill: a 3-sequence varlen pack with a band must
+        match each sequence's own banded attention."""
+        T, H, D, W = 768, 2, 64, 150
+        cu = jnp.array([0, 300, 520, 768], jnp.int32)
+        r = jax.random.split(jax.random.PRNGKey(8), 3)
+        qp, kp, vp = (jax.random.normal(kk, (T, H, D), jnp.float32)
+                      for kk in r)
+        out = sa.sageattn_varlen(qp, kp, vp, cu, cu, 0, 0, is_causal=True,
+                                 sliding_window=W)
+        for i in range(3):
+            a, b = int(cu[i]), int(cu[i + 1])
+            ref = band_ref(jnp.swapaxes(qp[None, a:b], 1, 2),
+                           jnp.swapaxes(kp[None, a:b], 1, 2),
+                           jnp.swapaxes(vp[None, a:b], 1, 2), W)
+            assert calc_diff(out[a:b], jnp.swapaxes(ref[0], 0, 1)) < 1e-3, i
+
     def test_grad_raises_loudly(self):
         q, k, v = qkv(S=256, seed=6)
         f = lambda q: jnp.sum(sa.sageattn(q, k, v, is_causal=True,

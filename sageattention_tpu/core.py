@@ -721,7 +721,7 @@ def _diff_sage_factory(opts_items):
         dq, dk, dv = attention_backward_pallas(
             q, k, v, o, lse, do, sm_scale=sm_scale,
             is_causal=opts["is_causal"], quantized=quant_bwd,
-            interpret=interp)
+            window=opts.get("sliding_window", 0), interpret=interp)
         if not layout_is_hnd:
             dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
         return dq, dk, dv
@@ -810,16 +810,6 @@ def _route(q, k, v, return_lse=False, attn_mask=None, **opts):
     """
     quant_bwd = opts.pop("quant_backward", None)   # factories only; the
     # non-diff paths below never reach the backward kernels
-    if opts.get("sliding_window"):
-        # the backward kernels recompute FULL causal P — windowed gradients
-        # would be silently wrong; fail loudly until they thread the window
-        fn = _nondiff(
-            lambda a, b, c: _sage_attention(
-                a, b, c, return_lse=return_lse, attn_mask=attn_mask, **opts),
-            "sageattn(sliding_window=...) is not differentiable yet (the "
-            "backward kernels recompute full-causal P); use is_causal with "
-            "a bool band mask for training")
-        return fn(q, k, v)
     if return_lse:
         fn = _nondiff(
             lambda a, b, c: _sage_attention(

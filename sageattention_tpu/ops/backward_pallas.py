@@ -57,7 +57,20 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
-def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_q):
+def _band(p, i, j, BQ, BK, window):
+    """Zero entries of the recomputed P outside the causal (and, with a
+    sliding window, band) region — mirrors the forward's mask exactly so
+    lse (computed WITH the window) normalizes the same visible set."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
+    keep = cols <= rows
+    if window:
+        keep = jnp.logical_and(keep, cols >= rows - (window - 1))
+    return jnp.where(keep, p, 0.0)
+
+
+def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window,
+                BQ, BK, n_q):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
     qs_ref = ks_ref = None
@@ -76,6 +89,10 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_q):
     run = True
     if causal:
         run = (j * BK) <= (i * BQ + BQ - 1)
+        if window:
+            # skip kv blocks entirely below every row's window
+            run = jnp.logical_and(
+                run, (j * BK + BK - 1) >= (i * BQ - window + 1))
 
     @pl.when(run)
     def _():
@@ -98,9 +115,7 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_q):
             s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)               # (BQ, BK)
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
-            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
-            p = jnp.where(cols <= rows, p, 0.0)
+            p = _band(p, i, j, BQ, BK, window)
         if masked:
             # lse was computed WITH the mask in the forward; the recomputed
             # p must zero masked pairs or they'd leak spurious gradient
@@ -133,7 +148,8 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_q):
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _dq_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_kv):
+def _dq_kernel(*refs, sm_scale, causal, masked, quantized, window,
+               BQ, BK, n_kv):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
     qs_ref = ks_ref = ksr_ref = None
@@ -153,6 +169,9 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_kv):
     run = True
     if causal:
         run = (j * BK) <= (i * BQ + BQ - 1)
+        if window:
+            run = jnp.logical_and(
+                run, (j * BK + BK - 1) >= (i * BQ - window + 1))
 
     @pl.when(run)
     def _():
@@ -172,9 +191,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_kv):
             s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)
         if causal:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
-            cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
-            p = jnp.where(cols <= rows, p, 0.0)
+            p = _band(p, i, j, BQ, BK, window)
         if masked:
             p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -199,6 +216,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, BQ, BK, n_kv):
 
 def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
                               attn_mask=None, quantized: bool = False,
+                              window: int = 0,
                               block_q: int = 2048, block_k: int = 2048,
                               interpret: bool = False):
     # default blocks from the r2 TPU sweep: 2048x2048 = 117 TFLOPS-eff vs
@@ -210,7 +228,13 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     one level up — its own gradient would be O(S^2) to materialize).
     ``quantized``: SageBwd-class int8 path (5 of 7 matmuls on the int8
     MXU; module docstring has the precision split).
+    ``window``: sliding-window (local causal) attention — row r saw keys
+    [r - window + 1, r] in the forward; requires ``is_causal``.  Out-of-band
+    tiles are skipped at compute AND DMA level (index-map clamps below), so
+    the backward is O(S*W) like the forward.
     Returns (dq, dk, dv) with GQA group-sum."""
+    if window:
+        assert is_causal, "window requires is_causal"
     B, Hq, Sq, D = q.shape
     _, Hk, Sk, _ = k.shape
     G = Hq // Hk
@@ -236,6 +260,30 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     Sqp, Skp = Sq + pad_q, Sk + pad_k
     n_q, n_kv = Sqp // BQ, Skp // BK
 
+    # Index-map clamps (forward's trick, ops/attention.py `_j`): grid steps
+    # whose tile lies outside the causal/band region are compute-skipped by
+    # the kernels' `run` predicate; clamping their data index to the nearest
+    # live block makes the DMA re-use the resident buffer — causal backward
+    # touches only the lower triangle, windowed backward is O(S*W).
+    if is_causal:
+        def _iq(j, i):          # dKV grid: live q blocks for kv block j
+            lo = (j * BK) // BQ
+            if window:
+                hi = jnp.minimum(
+                    (j * BK + BK - 1 + window - 1) // BQ, n_q - 1)
+                return jnp.minimum(jnp.maximum(i, lo), hi)
+            return jnp.maximum(i, lo)
+
+        def _jk(i, j):          # dQ grid: live kv blocks for q block i
+            hi = ((i + 1) * BQ - 1) // BK
+            if window:
+                lo = jnp.maximum(i * BQ - window + 1, 0) // BK
+                return jnp.minimum(jnp.maximum(j, lo), hi)
+            return jnp.minimum(j, hi)
+    else:
+        _iq = lambda j, i: i    # noqa: E731
+        _jk = lambda i, j: j    # noqa: E731
+
     scale_in = []
     scale_specs = lambda order: []  # noqa: E731
     if quantized:
@@ -258,13 +306,16 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             # in-register k dequant
             if order == "ji":
                 return [
-                    pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),
+                    pl.BlockSpec((1, 1, BQ, 1),
+                                 lambda b, h, j, i: (b, h, _iq(j, i), 0)),
                     pl.BlockSpec((1, 1, 1, BK), lambda b, h, j, i: (b, h, 0, j)),
                 ]
             return [
                 pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, 1, BK), lambda b, h, i, j: (b, h, 0, j)),
-                pl.BlockSpec((1, 1, BK, 1), lambda b, h, i, j: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, 1, BK),
+                             lambda b, h, i, j: (b, h, 0, _jk(i, j))),
+                pl.BlockSpec((1, 1, BK, 1),
+                             lambda b, h, i, j: (b, h, _jk(i, j), 0)),
             ]
 
     mask_in = []
@@ -279,23 +330,27 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             if order == "ji":
                 return pl.BlockSpec(
                     (1, 1, BQ, BK),
-                    lambda b, h, j, i: (b, 0 if Hm == 1 else h, i, j))
+                    lambda b, h, j, i: (b, 0 if Hm == 1 else h, _iq(j, i), j))
             return pl.BlockSpec(
                 (1, 1, BQ, BK),
-                lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, j))
+                lambda b, h, i, j: (b, 0 if Hm == 1 else h, i, _jk(i, j)))
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=is_causal,
-                          masked=masked, quantized=quantized,
+                          masked=masked, quantized=quantized, window=window,
                           BQ=BQ, BK=BK, n_q=n_q),
         grid=(B, Hq, n_kv, n_q),
         in_specs=[
-            pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # q
+            pl.BlockSpec((1, 1, BQ, D),
+                         lambda b, h, j, i: (b, h, _iq(j, i), 0)),          # q
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),   # k
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),   # v
-            pl.BlockSpec((1, 1, BQ, D), lambda b, h, j, i: (b, h, i, 0)),   # do
-            pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # lse
-            pl.BlockSpec((1, 1, BQ, 1), lambda b, h, j, i: (b, h, i, 0)),   # di
+            pl.BlockSpec((1, 1, BQ, D),
+                         lambda b, h, j, i: (b, h, _iq(j, i), 0)),          # do
+            pl.BlockSpec((1, 1, BQ, 1),
+                         lambda b, h, j, i: (b, h, _iq(j, i), 0)),          # lse
+            pl.BlockSpec((1, 1, BQ, 1),
+                         lambda b, h, j, i: (b, h, _iq(j, i), 0)),          # di
         ] + scale_specs("ji") + ([mask_spec("ji")] if masked else []),
         out_specs=(
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
@@ -315,13 +370,15 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, causal=is_causal,
-                          masked=masked, quantized=quantized,
+                          masked=masked, quantized=quantized, window=window,
                           BQ=BQ, BK=BK, n_kv=n_kv),
         grid=(B, Hq, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0)),
-            pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, BK, D),
+                         lambda b, h, i, j: (b, h, _jk(i, j), 0)),
+            pl.BlockSpec((1, 1, BK, D),
+                         lambda b, h, i, j: (b, h, _jk(i, j), 0)),
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),

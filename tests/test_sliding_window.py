@@ -79,12 +79,30 @@ class TestSlidingWindow:
                            jnp.swapaxes(vp[None, a:b], 1, 2), W)
             assert calc_diff(out[a:b], jnp.swapaxes(ref[0], 0, 1)) < 1e-3, i
 
-    def test_grad_raises_loudly(self):
-        q, k, v = qkv(S=256, seed=6)
+    def test_grads_match_band_oracle(self):
+        """The backward kernels thread the window (r3): grads through the
+        public API must match autodiff through exact banded attention."""
+        import numpy as np
+        q, k, v = qkv(S=384, seed=6)
+        W = 150  # straddles block boundaries
+        f = lambda q, k, v: jnp.sum(sa.sageattn(
+            q, k, v, is_causal=True, sliding_window=W) ** 2)
+        fr = lambda q, k, v: jnp.sum(band_ref(q, k, v, W) ** 2)
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for x, y, n in zip(g, gr, "qkv"):
+            num = np.abs(np.asarray(x) - np.asarray(y, np.float32)).max()
+            den = np.abs(np.asarray(y, np.float32)).max() + 1e-9
+            assert num / den < 6e-2, f"d{n}: {num/den}"
+
+    def test_grad_window_wider_than_seq_matches_causal(self):
+        q, k, v = qkv(S=256, seed=9)
+        import numpy as np
         f = lambda q: jnp.sum(sa.sageattn(q, k, v, is_causal=True,
-                                          sliding_window=128) ** 2)
-        with pytest.raises(NotImplementedError, match="sliding_window"):
-            jax.grad(f)(q)
+                                          sliding_window=4096) ** 2)
+        fc = lambda q: jnp.sum(sa.sageattn(q, k, v, is_causal=True) ** 2)
+        g, gc = jax.grad(f)(q), jax.grad(fc)(q)
+        assert np.abs(np.asarray(g) - np.asarray(gc)).max() < 1e-4
 
     def test_requires_causal(self):
         q, k, v = qkv(S=256, seed=7)

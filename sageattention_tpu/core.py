@@ -145,6 +145,10 @@ def _sage_attention(
     # row r attends cols [r - sliding_window + 1, r].  Static causal only;
     # below-window KV blocks are skipped at both the compute AND DMA level
     # (ops/attention.py AttnConfig.window), so cost scales O(S*W).
+    attention_sinks: int = 0,  # r3: StreamingLLM sinks for the windowed
+    # path — the first `attention_sinks` key positions stay visible to
+    # every row in addition to its band (prefill/training side of the
+    # paged-decode `attention_sinks`).  Requires sliding_window.
 ):
     """Shared quantized-attention pipeline (quant -> kernel -> repair).
     ``block_q``/``block_k`` of 0 select tuned sizes for the shape.
@@ -199,6 +203,8 @@ def _sage_attention(
         if kv_true:
             raise ValueError("sliding_window with pre-padded kv_true is "
                              "unsupported; pass unpadded inputs")
+    if attention_sinks and not sliding_window:
+        raise ValueError("attention_sinks requires sliding_window")
     if sm_scale is None:
         sm_scale = 1.0 / (D_og ** 0.5)
     if qk_quant_gran not in quant_ops.QUANT_GRANULARITIES:
@@ -616,7 +622,7 @@ def _sage_attention(
             pv_via_bf16=(mode == "online" and softmax_mode == "static"),
             fuse_q_quant=fuse_qq, sm_scale=sm_scale,
             q_len=(Sq if (fuse_qq and Sq_pad != Sq) else 0),
-            window=sliding_window,
+            window=sliding_window, sinks=attention_sinks,
         )
         return attention_call(
             q if fuse_qq else q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
@@ -721,7 +727,8 @@ def _diff_sage_factory(opts_items):
         dq, dk, dv = attention_backward_pallas(
             q, k, v, o, lse, do, sm_scale=sm_scale,
             is_causal=opts["is_causal"], quantized=quant_bwd,
-            window=opts.get("sliding_window", 0), interpret=interp)
+            window=opts.get("sliding_window", 0),
+            sinks=opts.get("attention_sinks", 0), interpret=interp)
         if not layout_is_hnd:
             dq, dk, dv = (jnp.swapaxes(x, 1, 2) for x in (dq, dk, dv))
         return dq, dk, dv
@@ -880,6 +887,7 @@ def sageattn(
         fuse_q_quant=kwargs.pop("fuse_q_quant", None),
         quant_backward=kwargs.pop("quant_backward", None),
         sliding_window=kwargs.pop("sliding_window", 0),
+        attention_sinks=kwargs.pop("attention_sinks", 0),
     )
 
 
@@ -1001,6 +1009,7 @@ def flash_attention(
     block_k: int = 0,
     interpret: Optional[bool] = None,
     sliding_window: int = 0,
+    attention_sinks: int = 0,
 ):
     """Unquantized bf16 FlashAttention baseline (Pallas).
 
@@ -1036,11 +1045,13 @@ def flash_attention(
 
     if sliding_window and not is_causal:
         raise ValueError("sliding_window requires is_causal=True")
+    if attention_sinks and not sliding_window:
+        raise ValueError("attention_sinks requires sliding_window")
     cfg = AttnConfig(
         block_q=bq, block_k=bk, block_k_inner=bki, causal=is_causal,
         quantized=False, layout="HND", sm_scale=sm_scale, kv_len=Sk,
         out_dtype=jnp.bfloat16, emit_lse=return_lse,
-        window=sliding_window,
+        window=sliding_window, sinks=attention_sinks,
     )
     out, lse_b2 = attention_call(q, k, v, cfg=cfg, interpret=interpret)
     out = out[:, :, :Sq, :D_og]

@@ -26,6 +26,9 @@ class LlamaConfig:
     mlp_ratio: float = 2.7
     rope_theta: float = 10000.0
     sliding_window: int = 0   # Mistral/Gemma2-class local attention (0 = full)
+    attention_sinks: int = 0  # StreamingLLM sinks: first n tokens stay
+    # visible beyond the window (prefill needs an attn_fn that takes the
+    # kwarg, e.g. sage_dot_product_attention; paged decode is native)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -111,7 +114,8 @@ class LlamaBlock(nn.Module):
                                     active=active)
             o = pg.sageattn_decode_paged(q, cache, tensor_layout="NHD",
                                          pages_bucket=bucket,
-                                         sliding_window=W)
+                                         sliding_window=W,
+                                         attention_sinks=cfg.attention_sinks)
         elif cache is not None:
             if W:
                 raise ValueError("sliding-window serving needs the paged "
@@ -122,8 +126,15 @@ class LlamaBlock(nn.Module):
                                     bucket=bucket)
         else:
             attn = self.attn_fn or jax.nn.dot_product_attention
+            if cfg.attention_sinks and self.attn_fn is None:
+                raise ValueError(
+                    "attention_sinks prefill needs an attn_fn that takes "
+                    "the kwarg (e.g. sage_dot_product_attention); "
+                    "jax.nn.dot_product_attention has no sink support")
             o = attn(q, k, v, is_causal=True,
-                     **({"local_window_size": (W - 1, 0)} if W else {}))
+                     **({"local_window_size": (W - 1, 0)} if W else {}),
+                     **({"attention_sinks": cfg.attention_sinks}
+                        if cfg.attention_sinks else {}))
             if paged_spec is not None:
                 cache = pg.paged_prefill(
                     k, v, paged_spec["lengths"], paged_spec["page_table"],

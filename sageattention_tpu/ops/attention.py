@@ -152,6 +152,13 @@ class AttnConfig:
     # bounds are static functions of the grid indices, so the K/V index
     # maps CLAMP below-window blocks exactly like above-diagonal ones —
     # FLOPs AND DMA scale O(S*window) instead of O(S^2/2).  0 = disabled.
+    sinks: int = 0  # r3: StreamingLLM attention sinks for the windowed
+    # prefill — the first `sinks` key positions stay visible to every row
+    # in ADDITION to its band (decode already supports this, paged_decode;
+    # this is the prefill/training side).  Sink blocks stay DMA-live (the
+    # below-window clamp passes them through), cost O(S*(window+sinks)).
+    # Requires window; mutually exclusive with segments (sinks are global
+    # positions — a packed batch would need per-segment sinks).
     softmax_mode: str = "online"  # "online": classic flash running-max.
     # "static": the max is replaced by a precomputed per-row upper bound C_i
     # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
@@ -337,9 +344,12 @@ def _attn_kernel(
         run = (j * BK) <= (i * BQ + BQ - 1)
         if cfg.window:
             # major tile participates iff its last kv position is inside
-            # the widest window any of the tile's rows can see
-            run = jnp.logical_and(
-                run, (j * BK + BK - 1) >= (i * BQ - cfg.window + 1))
+            # the widest window any of the tile's rows can see (or the
+            # tile holds sink keys, which every row sees)
+            in_band = (j * BK + BK - 1) >= (i * BQ - cfg.window + 1)
+            if cfg.sinks:
+                in_band = jnp.logical_or(in_band, j * BK < cfg.sinks)
+            run = jnp.logical_and(run, in_band)
     else:
         q_start = kv_start = None
         # skip kv blocks entirely past the true length (their DMA is also
@@ -425,8 +435,10 @@ def _attn_kernel(
                         + col0 + kv_start)
                 keep = cols <= rows
                 if cfg.window:
-                    keep = jnp.logical_and(keep,
-                                           cols >= rows - (cfg.window - 1))
+                    band = cols >= rows - (cfg.window - 1)
+                    if cfg.sinks:
+                        band = jnp.logical_or(band, cols < cfg.sinks)
+                    keep = jnp.logical_and(keep, band)
                 s = jnp.where(keep, s, MASK_NEG)
             if cfg.segmented:
                 q_seg = q_seg_ref[0]                    # (BQ, 1) int32
@@ -519,11 +531,19 @@ def _attn_kernel(
                 if cfg.window:
                     # window lower bound: skip sub-tiles entirely below
                     # every row's window; mask unless the sub-tile is also
-                    # fully inside the NARROWEST row's window
-                    sub_run = jnp.logical_and(
-                        sub_run, last_kv >= first_q - (cfg.window - 1))
-                    full = jnp.logical_and(
-                        full, first_kv >= last_q - (cfg.window - 1))
+                    # fully inside the NARROWEST row's window.  Sink
+                    # sub-tiles stay live: fully-below-sinks ones are
+                    # maskless (every col < sinks is visible to every
+                    # below-diagonal row), straddlers take the mask.
+                    in_band = last_kv >= first_q - (cfg.window - 1)
+                    band_full = first_kv >= last_q - (cfg.window - 1)
+                    if cfg.sinks:
+                        in_band = jnp.logical_or(in_band,
+                                                 first_kv < cfg.sinks)
+                        band_full = jnp.logical_or(band_full,
+                                                   last_kv < cfg.sinks)
+                    sub_run = jnp.logical_and(sub_run, in_band)
+                    full = jnp.logical_and(full, band_full)
                 tail = cfg.kv_len_dynamic or (
                     (not static_causal) and has_tail)
                 pl.when(jnp.logical_and(sub_run, full))(
@@ -615,7 +635,13 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
                 def _j(i, j):
                     hi = ((i + 1) * BQ - 1) // BK
                     lo = jnp.maximum(i * BQ - cfg.window + 1, 0) // BK
-                    return jnp.minimum(jnp.maximum(j, lo), hi)
+                    clamped = jnp.minimum(jnp.maximum(j, lo), hi)
+                    if cfg.sinks:
+                        # sink blocks are live for every q block: pass
+                        # them through (bounded by the diagonal)
+                        clamped = jnp.where(j * BK < cfg.sinks,
+                                            jnp.minimum(j, hi), clamped)
+                    return clamped
             else:
                 def _j(i, j):
                     return jnp.minimum(j, ((i + 1) * BQ - 1) // BK)
@@ -715,6 +741,13 @@ def attention_call(
         # band (both offsets share the segment start) and cross-segment
         # pairs are killed by the segment mask regardless
         assert cfg.window >= 1
+        if cfg.sinks:
+            assert not cfg.segmented, \
+                "attention sinks are global positions; packed (varlen) " \
+                "batches would need per-segment sinks"
+            assert cfg.sinks >= 1
+    else:
+        assert cfg.sinks == 0, "attention_sinks requires sliding_window"
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"
         assert kn_max is not None, "softmax_mode='static' needs kn_max"

@@ -57,19 +57,32 @@ from jax.experimental.pallas import tpu as pltpu
 LOG2E = 1.4426950408889634
 
 
-def _band(p, i, j, BQ, BK, window):
+def _band(p, i, j, BQ, BK, window, sinks=0):
     """Zero entries of the recomputed P outside the causal (and, with a
-    sliding window, band) region — mirrors the forward's mask exactly so
-    lse (computed WITH the window) normalizes the same visible set."""
+    sliding window, band — plus sink columns) region — mirrors the
+    forward's mask exactly so lse (computed WITH the window) normalizes
+    the same visible set."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0) + i * BQ
     cols = jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1) + j * BK
     keep = cols <= rows
     if window:
-        keep = jnp.logical_and(keep, cols >= rows - (window - 1))
+        band = cols >= rows - (window - 1)
+        if sinks:
+            band = jnp.logical_or(band, cols < sinks)
+        keep = jnp.logical_and(keep, band)
     return jnp.where(keep, p, 0.0)
 
 
-def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window,
+def _band_run(run, i, j, BQ, BK, window, sinks):
+    """Block-level liveness: inside the widest band any row sees, or a
+    sink block (visible to every row)."""
+    live = (j * BK + BK - 1) >= (i * BQ - window + 1)
+    if sinks:
+        live = jnp.logical_or(live, j * BK < sinks)
+    return jnp.logical_and(run, live)
+
+
+def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window, sinks,
                 BQ, BK, n_q):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
@@ -90,9 +103,9 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window,
     if causal:
         run = (j * BK) <= (i * BQ + BQ - 1)
         if window:
-            # skip kv blocks entirely below every row's window
-            run = jnp.logical_and(
-                run, (j * BK + BK - 1) >= (i * BQ - window + 1))
+            # skip kv blocks entirely below every row's window (sink
+            # blocks stay live for every q block)
+            run = _band_run(run, i, j, BQ, BK, window, sinks)
 
     @pl.when(run)
     def _():
@@ -115,7 +128,7 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window,
             s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)               # (BQ, BK)
         if causal:
-            p = _band(p, i, j, BQ, BK, window)
+            p = _band(p, i, j, BQ, BK, window, sinks)
         if masked:
             # lse was computed WITH the mask in the forward; the recomputed
             # p must zero masked pairs or they'd leak spurious gradient
@@ -149,7 +162,7 @@ def _dkv_kernel(*refs, sm_scale, causal, masked, quantized, window,
 
 
 def _dq_kernel(*refs, sm_scale, causal, masked, quantized, window,
-               BQ, BK, n_kv):
+               sinks, BQ, BK, n_kv):
     it = iter(refs)
     q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref = (next(it) for _ in range(6))
     qs_ref = ks_ref = ksr_ref = None
@@ -170,8 +183,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, window,
     if causal:
         run = (j * BK) <= (i * BQ + BQ - 1)
         if window:
-            run = jnp.logical_and(
-                run, (j * BK + BK - 1) >= (i * BQ - window + 1))
+            run = _band_run(run, i, j, BQ, BK, window, sinks)
 
     @pl.when(run)
     def _():
@@ -191,7 +203,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, window,
             s = s * (sm_scale * LOG2E)
         p = jnp.exp2(s - lse2)
         if causal:
-            p = _band(p, i, j, BQ, BK, window)
+            p = _band(p, i, j, BQ, BK, window, sinks)
         if masked:
             p = jnp.where(mask_ref[0, 0] != 0, p, 0.0)
         dov = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -216,7 +228,7 @@ def _dq_kernel(*refs, sm_scale, causal, masked, quantized, window,
 
 def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
                               attn_mask=None, quantized: bool = False,
-                              window: int = 0,
+                              window: int = 0, sinks: int = 0,
                               block_q: int = 2048, block_k: int = 2048,
                               interpret: bool = False):
     # default blocks from the r2 TPU sweep: 2048x2048 = 117 TFLOPS-eff vs
@@ -232,9 +244,14 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     [r - window + 1, r] in the forward; requires ``is_causal``.  Out-of-band
     tiles are skipped at compute AND DMA level (index-map clamps below), so
     the backward is O(S*W) like the forward.
+    ``sinks``: StreamingLLM attention sinks — the first ``sinks`` key
+    positions stayed visible to every row in addition to its band; their
+    kv blocks stay live in both grids (requires ``window``).
     Returns (dq, dk, dv) with GQA group-sum."""
     if window:
         assert is_causal, "window requires is_causal"
+    else:
+        assert sinks == 0, "sinks requires window"
     B, Hq, Sq, D = q.shape
     _, Hk, Sk, _ = k.shape
     G = Hq // Hk
@@ -271,14 +288,25 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             if window:
                 hi = jnp.minimum(
                     (j * BK + BK - 1 + window - 1) // BQ, n_q - 1)
-                return jnp.minimum(jnp.maximum(i, lo), hi)
+                clamped = jnp.minimum(jnp.maximum(i, lo), hi)
+                if sinks:
+                    # sink kv blocks are live for EVERY q block at/after
+                    # the diagonal: drop the window's upper clamp
+                    clamped = jnp.where(j * BK < sinks,
+                                        jnp.maximum(i, lo), clamped)
+                return clamped
             return jnp.maximum(i, lo)
 
         def _jk(i, j):          # dQ grid: live kv blocks for q block i
             hi = ((i + 1) * BQ - 1) // BK
             if window:
                 lo = jnp.maximum(i * BQ - window + 1, 0) // BK
-                return jnp.minimum(jnp.maximum(j, lo), hi)
+                clamped = jnp.minimum(jnp.maximum(j, lo), hi)
+                if sinks:
+                    # sink blocks pass through (bounded by the diagonal)
+                    clamped = jnp.where(j * BK < sinks,
+                                        jnp.minimum(j, hi), clamped)
+                return clamped
             return jnp.minimum(j, hi)
     else:
         _iq = lambda j, i: i    # noqa: E731
@@ -338,6 +366,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, sm_scale=sm_scale, causal=is_causal,
                           masked=masked, quantized=quantized, window=window,
+                          sinks=sinks,
                           BQ=BQ, BK=BK, n_q=n_q),
         grid=(B, Hq, n_kv, n_q),
         in_specs=[
@@ -371,6 +400,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, sm_scale=sm_scale, causal=is_causal,
                           masked=masked, quantized=quantized, window=window,
+                          sinks=sinks,
                           BQ=BQ, BK=BK, n_kv=n_kv),
         grid=(B, Hq, n_q, n_kv),
         in_specs=[

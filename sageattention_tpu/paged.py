@@ -424,9 +424,16 @@ def sageattn_decode_paged(
             raise ValueError("sliding_window decode supports T=1 (chunk "
                              "verify windows are full-attention)")
         sink_pages = -(-attention_sinks // page) if attention_sinks else 0
-        # the stream covers sink pages + at most ceil(W/page)+1 band pages
-        n_pages = min(n_pages,
-                      sink_pages + (-(-sliding_window // page)) + 1)
+        # the stream covers sink pages + at most ceil(W/page)+1 band pages;
+        # band_w is the BAND's own slot count — the sink slots must not
+        # squeeze it below the window's page span.  The effective table
+        # below is built sink_pages + band_w wide, which may exceed
+        # max_pages (logical slots, gathered per sequence), so the stream
+        # length is NOT capped by pages_bucket/max_pages here: sliding
+        # mode's DMA bound is already static in (window, sinks).
+        band_w = min(max_pages, (-(-sliding_window // page)) + 1)
+        n_pages = (sink_pages + band_w) if sink_pages else \
+            min(n_pages, band_w)
     G = Hq // Hk
 
     # fold GQA heads into tile rows at T=1 (KV stream fetched once per KV
@@ -457,7 +464,7 @@ def sageattn_decode_paged(
             # its own region
             win_lo = jnp.maximum(win_lo, attention_sinks)
         band = ((win_lo // page)[:, None]
-                + jnp.arange(max_pages - sink_pages)[None, :])
+                + jnp.arange(band_w if sink_pages else max_pages)[None, :])
         slot = jnp.concatenate(
             [jnp.broadcast_to(jnp.arange(sink_pages)[None, :],
                               (B, sink_pages)), band], axis=1)

@@ -160,3 +160,57 @@ def test_llm_cached_decode_multi_token():
     _, caches = model.apply(params, tokens[:, :S0], max_len=256)
     step, caches = model.apply(params, tokens[:, S0:], caches=caches, pos=S0)
     assert calc_diff(step, full[:, S0:]) < 2e-3
+
+
+def test_llm_attention_sinks_paged_decode():
+    """StreamingLLM end-to-end: windowed model with sinks — paged decode
+    (sink pages ride the shifted table) must match the no-cache forward
+    whose prefill runs the sage band+sinks kernel.  Kernel-vs-oracle
+    correctness is tests/test_sliding_window.py; this pins the MODEL
+    wiring (config -> prefill kwarg -> decode page stream).  The decode
+    oracle is an EXACT banded+sink attention (masked jax.nn) so the bar
+    measures one quantized path, not two compounding ones."""
+    import pytest
+    from sageattention_tpu.paged import PageAllocator, build_table
+
+    W, SINKS, PAGE, T = 128, 16, 256, 2
+    cfg = LlamaConfig(hidden=256, heads=4, kv_heads=2, depth=2,
+                      vocab=CFG.vocab, sliding_window=W,
+                      attention_sinks=SINKS)
+    tokens = jax.random.randint(jax.random.PRNGKey(21), (1, PAGE + T), 0,
+                                cfg.vocab)
+    model = LlamaLM(cfg, attn_fn=sage_dot_product_attention)
+    params = model.init(jax.random.PRNGKey(22), tokens[:, :PAGE])
+
+    def exact_sink_attn(q, k, v, is_causal=False, local_window_size=None,
+                        attention_sinks=0, **kw):
+        S = q.shape[1]
+        rows = jnp.arange(S)[:, None]
+        cols = jnp.arange(S)[None, :]
+        Wn = local_window_size[0] + 1
+        m = (cols <= rows) & ((cols >= rows - (Wn - 1))
+                              | (cols < attention_sinks))
+        return jax.nn.dot_product_attention(q, k, v, mask=m[None, None])
+
+    oracle_model = LlamaLM(cfg, attn_fn=exact_sink_attn)
+
+    # jax.nn's prefill cannot express sinks: loud, not silently un-sunk
+    with pytest.raises(ValueError, match="attention_sinks"):
+        LlamaLM(cfg).apply(params, tokens[:, :PAGE])
+
+    alloc = PageAllocator(8, PAGE)
+    table = build_table([alloc.reserve(2)], max_pages=2)
+    spec = dict(num_pages=8, page_table=table,
+                lengths=jnp.asarray([PAGE], jnp.int32))
+    logits, caches = model.apply(params, tokens[:, :PAGE], paged_spec=spec)
+    full = model.apply(params, tokens[:, :PAGE])
+    assert calc_diff(logits, full) < 1e-6  # prefill math unchanged
+    exact = oracle_model.apply(params, tokens[:, :PAGE])
+    assert calc_diff(logits, exact) < 3e-3  # sage band+sinks vs exact
+
+    for t in range(T):
+        cur = PAGE + t
+        step, caches = model.apply(params, tokens[:, cur:cur + 1],
+                                   caches=caches, pos=cur)
+        oracle = oracle_model.apply(params, tokens[:, :cur + 1])
+        assert calc_diff(step[:, 0], oracle[:, -1]) < 3e-3, t

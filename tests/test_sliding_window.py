@@ -110,3 +110,72 @@ class TestSlidingWindow:
             sa.sageattn(q, k, v, sliding_window=128)
         with pytest.raises(ValueError, match="is_causal"):
             sa.flash_attention(q, k, v, sliding_window=128)
+
+
+def band_sink_ref(q, k, v, window, sinks):
+    S = q.shape[2]
+    rows = jnp.arange(S)[:, None]
+    cols = jnp.arange(S)[None, :]
+    mask = (cols <= rows) & ((cols >= rows - (window - 1)) | (cols < sinks))
+    return sdpa(q, k, v, mask=mask[None, None])
+
+
+class TestAttentionSinks:
+    """StreamingLLM sinks on the PREFILL band kernel (decode already has
+    them, ops/paged_decode.py): the first `sinks` key positions stay
+    visible to every row in addition to its band."""
+
+    @pytest.mark.parametrize("window,sinks", [(128, 4), (200, 64), (128, 130)])
+    def test_matches_oracle(self, window, sinks):
+        q, k, v = qkv(S=512, seed=10)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=window,
+                          attention_sinks=sinks)
+        assert calc_diff(out, band_sink_ref(q, k, v, window, sinks)) < 1e-3
+
+    def test_unaligned_seq(self):
+        q, k, v = qkv(S=700, seed=11)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=300,
+                          attention_sinks=37)
+        assert calc_diff(out, band_sink_ref(q, k, v, 300, 37)) < 1e-3
+
+    def test_narrow_window_long_seq(self):
+        # sink blocks far below every row's band: exercises the DMA
+        # pass-through clamp + maskless fully-sink sub-tiles
+        q, k, v = qkv(S=2048, seed=12)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=128,
+                          attention_sinks=16)
+        assert calc_diff(out, band_sink_ref(q, k, v, 128, 16)) < 1e-3
+
+    def test_online_softmax_path(self):
+        q, k, v = qkv(S=512, seed=13)
+        out = sa.sageattn(q, k, v, is_causal=True, sliding_window=256,
+                          attention_sinks=8, softmax_mode="online")
+        assert calc_diff(out, band_sink_ref(q, k, v, 256, 8)) < 1e-3
+
+    def test_flash_baseline_sinks(self):
+        q, k, v = qkv(S=512, seed=14)
+        out = sa.flash_attention(q, k, v, is_causal=True, sliding_window=256,
+                                 attention_sinks=8)
+        assert calc_diff(out, band_sink_ref(q, k, v, 256, 8)) < 2e-5
+
+    def test_grads_match_oracle(self):
+        import numpy as np
+        q, k, v = qkv(S=384, seed=15)
+        W, n = 150, 32
+        f = lambda q, k, v: jnp.sum(sa.sageattn(
+            q, k, v, is_causal=True, sliding_window=W,
+            attention_sinks=n) ** 2)
+        fr = lambda q, k, v: jnp.sum(band_sink_ref(q, k, v, W, n) ** 2)
+        g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+        for x, y, nm in zip(g, gr, "qkv"):
+            num = np.abs(np.asarray(x) - np.asarray(y, np.float32)).max()
+            den = np.abs(np.asarray(y, np.float32)).max() + 1e-9
+            assert num / den < 6e-2, f"d{nm}: {num/den}"
+
+    def test_requires_window(self):
+        q, k, v = qkv(S=256, seed=16)
+        with pytest.raises(ValueError, match="sliding_window"):
+            sa.sageattn(q, k, v, is_causal=True, attention_sinks=4)
+        with pytest.raises(ValueError, match="sliding_window"):
+            sa.flash_attention(q, k, v, is_causal=True, attention_sinks=4)

@@ -222,7 +222,8 @@ def _round_e2m1_tile(p, pmax):
 
 def _attn_kernel(
     # refs (built dynamically; see attention_call): [minfo table]
-    # [offsets?] [kv_true?] q k v [qs ks] [vs] [q_seg kv_seg] [mask]
+    # [offsets?] [kv_true?] q k v [qs ks] [vs] [q_seg kv_seg [kv_segpos]]
+    # [mask]
     # out [lse] m_scr l_scr acc_scr [qbf_scr]
     *refs,
     cfg: AttnConfig,
@@ -256,6 +257,8 @@ def _attn_kernel(
         knmax_ref = next(it) if static_mode else None
     q_seg_ref = next(it) if cfg.segmented else None
     kv_seg_ref = next(it) if cfg.segmented else None
+    # per-segment sinks: each kv token's position WITHIN its segment
+    kv_segpos_ref = next(it) if (cfg.segmented and cfg.sinks) else None
     mask_ref = next(it) if cfg.masked != "none" else None
     o_ref = next(it)
     lse_ref = next(it) if cfg.emit_lse else None
@@ -347,7 +350,13 @@ def _attn_kernel(
             # the widest window any of the tile's rows can see (or the
             # tile holds sink keys, which every row sees)
             in_band = (j * BK + BK - 1) >= (i * BQ - cfg.window + 1)
-            if cfg.sinks:
+            if cfg.sinks and cfg.segmented:
+                # per-SEGMENT sinks: the tile is live iff some kv token
+                # sits in the first `sinks` positions of its own segment
+                # (dynamic — pads carry a huge segpos so they never match)
+                in_band = jnp.logical_or(
+                    in_band, jnp.min(kv_segpos_ref[0]) < cfg.sinks)
+            elif cfg.sinks:
                 in_band = jnp.logical_or(in_band, j * BK < cfg.sinks)
             run = jnp.logical_and(run, in_band)
     else:
@@ -436,7 +445,12 @@ def _attn_kernel(
                 keep = cols <= rows
                 if cfg.window:
                     band = cols >= rows - (cfg.window - 1)
-                    if cfg.sinks:
+                    if cfg.sinks and cfg.segmented:
+                        # (1, BKI) position-in-segment; the same-segment
+                        # mask below kills cross-segment sink leakage
+                        band = jnp.logical_or(
+                            band, kv_segpos_ref[0, :, sl] < cfg.sinks)
+                    elif cfg.sinks:
                         band = jnp.logical_or(band, cols < cfg.sinks)
                     keep = jnp.logical_and(keep, band)
                 s = jnp.where(keep, s, MASK_NEG)
@@ -537,7 +551,15 @@ def _attn_kernel(
                     # below-diagonal row), straddlers take the mask.
                     in_band = last_kv >= first_q - (cfg.window - 1)
                     band_full = first_kv >= last_q - (cfg.window - 1)
-                    if cfg.sinks:
+                    if cfg.sinks and cfg.segmented:
+                        # per-segment sinks: sub-tile liveness is dynamic
+                        # (min position-in-segment); never maskless — the
+                        # masked branch carries the segpos disjunction
+                        in_band = jnp.logical_or(
+                            in_band,
+                            jnp.min(kv_segpos_ref[
+                                0, :, t * BKI:(t + 1) * BKI]) < cfg.sinks)
+                    elif cfg.sinks:
                         in_band = jnp.logical_or(in_band,
                                                  first_kv < cfg.sinks)
                         band_full = jnp.logical_or(band_full,
@@ -631,7 +653,7 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
             # static diagonal: clamp the kv block index so above-diagonal
             # (and, with a sliding window, below-window) grid steps re-use
             # the resident block (no DMA)
-            if cfg.window:
+            if cfg.window and not (cfg.sinks and cfg.segmented):
                 def _j(i, j):
                     hi = ((i + 1) * BQ - 1) // BK
                     lo = jnp.maximum(i * BQ - cfg.window + 1, 0) // BK
@@ -688,6 +710,8 @@ def attention_call(
     offsets=None,   # (2,) int32 [q_start, kv_start] (causal only)
     q_segments=None,   # [B, Sq, 1] int32 (varlen only)
     kv_segments=None,  # [B, 1, Sk] int32 (varlen only)
+    kv_segpos=None,    # [B, 1, Sk] int32 position-in-segment (varlen
+    #                    per-segment sinks only; pads carry a huge value)
     attn_mask=None,    # [B, Hm, Sq, Sk] int8 (bool) or f32 (additive bias)
     kn_max=None,       # [B, Hq, 1, 1] f32: max_j of the K-side cap factor
     #                    (||k8_j|| with per-head scales folded into q_scale,
@@ -742,12 +766,19 @@ def attention_call(
         # pairs are killed by the segment mask regardless
         assert cfg.window >= 1
         if cfg.sinks:
-            assert not cfg.segmented, \
-                "attention sinks are global positions; packed (varlen) " \
-                "batches would need per-segment sinks"
             assert cfg.sinks >= 1
+            # dense: sinks are global positions.  segmented (varlen):
+            # per-SEGMENT sinks — each sequence's own first tokens stay
+            # visible; requires the kv_segpos input (position within
+            # segment) and keeps the plain causal DMA clamp (sink columns
+            # scatter through the pack, so below-band blocks must stream;
+            # compute still skips dead non-sink tiles)
+            assert (kv_segpos is not None) == cfg.segmented, \
+                "segmented sinks need kv_segpos; dense sinks forbid it"
     else:
         assert cfg.sinks == 0, "attention_sinks requires sliding_window"
+    if kv_segpos is not None:
+        assert cfg.segmented and cfg.sinks
     if cfg.softmax_mode == "static":
         assert cfg.quantized, "static softmax needs int8 payload bounds"
         assert kn_max is not None, "softmax_mode='static' needs kn_max"
@@ -832,6 +863,9 @@ def attention_call(
     if cfg.segmented:
         in_specs += [qseg_spec, kseg_spec]
         inputs += [q_segments.astype(jnp.int32), kv_segments.astype(jnp.int32)]
+        if cfg.sinks:
+            in_specs.append(kseg_spec)   # same tiling as the segment ids
+            inputs.append(kv_segpos.astype(jnp.int32))
     if cfg.masked == "bool":
         # mask tiles follow the same remap table as K/V (dead blocks
         # re-use the resident tile; the kernel never reads it)

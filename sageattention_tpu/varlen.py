@@ -62,6 +62,7 @@ def sageattn_varlen(
     return_lse: bool = False,
     attn_mask=None,
     sliding_window: int = 0,
+    attention_sinks: int = 0,
     **kwargs: Any,
 ):
     """Ragged-batch SageAttention.
@@ -93,6 +94,8 @@ def sageattn_varlen(
             raise ValueError("sliding_window requires is_causal=True")
         if attn_mask is not None:
             raise ValueError("sliding_window composes with no attn_mask")
+    if attention_sinks and not sliding_window:
+        raise ValueError("attention_sinks requires sliding_window")
     if is_causal:
         # per-sequence causal == global-causal AND same-segment only holds
         # when the q and k packings are identical (reference requires
@@ -162,6 +165,16 @@ def sageattn_varlen(
     # padding tokens must never match: q padding -> -1, kv padding -> -2
     q_seg = jnp.where(jnp.arange(Tq_pad) < Tq, q_seg, -1)
     kv_seg = jnp.where(jnp.arange(Tk_pad) < Tk, kv_seg, -2)
+    kv_segpos = None
+    if attention_sinks:
+        # per-SEGMENT sinks (StreamingLLM chunked prefill): each kv
+        # token's position within its own sequence; pads get a huge value
+        # so they can never read as sink columns
+        starts = jnp.take(cu_seqlens_k.astype(jnp.int32),
+                          jnp.clip(kv_seg, 0, None))
+        kv_segpos = jnp.where(
+            kv_seg >= 0, jnp.arange(Tk_pad, dtype=jnp.int32) - starts,
+            jnp.int32(1 << 30))
 
     # Whole-batch K mean (reference approximation, `core.py:429-434`) —
     # computed over real tokens only (fused single-read stats kernel on the
@@ -283,7 +296,8 @@ def sageattn_varlen(
             softmax_mode, is_causal, pv_dtype, compute_dtype, fold_k,
             block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
             Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
-            fuse_qq=fuse_qq, sliding_window=sliding_window)
+            fuse_qq=fuse_qq, sliding_window=sliding_window,
+            attention_sinks=attention_sinks, kv_segpos=kv_segpos)
 
     if fuse_qq and fold_k:
         q_i8 = q_scale = None  # quantized inside the attention kernel
@@ -352,7 +366,8 @@ def sageattn_varlen(
         Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
         fuse_qq=fuse_qq,
         k_row_scale=k_row_scale if (fuse_qq and fold_k) else None,
-        sliding_window=sliding_window)
+        sliding_window=sliding_window,
+        attention_sinks=attention_sinks, kv_segpos=kv_segpos)
 
 
 def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
@@ -361,7 +376,7 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
                    block_q, block_k, block_k_inner, Tq, Tk, Tq_pad, Tk_pad,
                    Hq, Hk, D_og, sm_scale, smooth_k, return_lse, interpret,
                    fuse_qq=False, k_row_scale=None,
-                   sliding_window=0):
+                   sliding_window=0, attention_sinks=0, kv_segpos=None):
     """Shared varlen tail: mask prep, static-softmax safety, kernel call,
     unpacking.  ``qn2``/``diag_dot``/``kn_max_raw`` are the fused quant
     kernels' safety statistics (row sq-norms, row diagonal dots, K-side
@@ -395,7 +410,7 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
             fuse_q_quant=fuse_qq, fuse_k_rows=(fuse_qq and fold_k),
             sm_scale=sm_scale,
             q_len=(Tq if (fuse_qq and Tq_pad != Tq) else 0),
-            window=sliding_window,
+            window=sliding_window, sinks=attention_sinks,
         )
 
     kn_max_in = None
@@ -460,6 +475,8 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
             qb if fuse_qq else q_i8, k_i8, v_in, q_scale, k_scale, v_scale,
             q_segments=q_seg[None, :, None],
             kv_segments=kv_seg[None, None, :],
+            kv_segpos=(kv_segpos[None, None, :]
+                       if kv_segpos is not None else None),
             attn_mask=mask_in, v_mean=vm,
             kn_max=kn_max_in if mode == "static" else None,
             k_head_scale=k_row_scale,

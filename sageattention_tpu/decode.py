@@ -55,7 +55,20 @@ from .utils.layout import get_layout, pad_axis, round_up
 
 _LANES = 128
 _BQ = 32          # int8 Q scratch min sublane tile (32, 128)
-_BK_DEFAULT = 512
+# 2048-col KV tiles: decode is per-grid-step bound, not byte bound — the r4
+# bk sweep (benchsuite/probe_decode.py SAGE_BK_SWEEP) measured 512->2048
+# worth ~9% at 16K-128K (1727->1583 us) with no loss at 4K.  The tile is a
+# CAP, applied only when the bucket is large enough; bucket granularity
+# stays 512 so short caches keep r3's footprint and numerics (a 2048-min
+# bucket quadrupled tiny caches and flipped near-tie argmaxes under the
+# bigger masked tile).
+_BK_DEFAULT = 2048
+_BUCKET_DEFAULT = 512
+
+
+FP8_SCALE_MAX = 448.0   # e4m3 max-normal; reference per-channel fp8 V fills
+#                         the full range (`/root/reference/csrc/fused/fused.cu`
+#                         MeanScaleKernel scale_max=448)
 
 
 class KVCache(NamedTuple):
@@ -63,14 +76,14 @@ class KVCache(NamedTuple):
 
     All buffers are HND with a static ``max_len`` sequence extent; ``length``
     is the filled prefix (shared across the batch — synchronized decode).
-    V is int8 when quantized at init, bf16 otherwise (dtype carries the
-    mode; no flag leaf to confuse tracing).
+    V is int8 / float8_e4m3fn / bf16 per the init's ``v_format`` (dtype
+    carries the mode; no flag leaf to confuse tracing).
     """
 
     k8: jax.Array        # [B, Hk, Smax, D] int8 (centered by km)
     k_scale: jax.Array   # [B, Hk, 1, Smax] f32 per-token
-    v: jax.Array         # [B, Hk, Smax, D] int8 (centered by vm) or bf16
-    v_scale: jax.Array   # [B, Hk, 1, D] f32 per-channel (int8 V; ones if bf16)
+    v: jax.Array         # [B, Hk, Smax, D] int8/fp8 (centered by vm) or bf16
+    v_scale: jax.Array   # [B, Hk, 1, D] f32 per-channel (quantized V; ones if bf16)
     v_mean: jax.Array    # [B, Hk, 1, D] f32 (zeros when smooth_v=False)
     k_mean: jax.Array    # [B, Hk, 1, D] f32 (zeros when smooth_k=False)
     length: jax.Array    # () int32 filled length
@@ -83,6 +96,10 @@ class KVCache(NamedTuple):
     def v_int8(self) -> bool:
         return self.v.dtype == jnp.int8
 
+    @property
+    def v_fp8(self) -> bool:
+        return self.v.dtype == jnp.float8_e4m3fn
+
 
 def _quant_k(k, km, eps=1e-8):
     """Center by the fixed mean, per-token int8: returns (k8, ks[B,H,1,S])."""
@@ -93,9 +110,26 @@ def _quant_k(k, km, eps=1e-8):
     return k8, jnp.swapaxes(ks, 2, 3)                        # [B,H,1,S]
 
 
-def _quant_v(v, vm, vs):
+def _quant_v(v, vm, vs, dtype=jnp.int8):
     vc = v.astype(jnp.float32) - vm
+    if dtype == jnp.float8_e4m3fn:
+        # clip before the cast: XLA's f32->e4m3fn convert is not guaranteed
+        # to saturate (e4m3fn has no inf — overflow can read back as nan)
+        return jnp.clip(vc / vs, -FP8_SCALE_MAX, FP8_SCALE_MAX
+                        ).astype(jnp.float8_e4m3fn)
     return jnp.clip(jnp.rint(vc / vs), -127, 127).astype(jnp.int8)
+
+
+def _v_format(v_quant, v_format):
+    """Resolve the V storage mode: 'int8' (default), 'fp8'
+    (float8_e4m3fn codes — turn-key for fast-fp8 generations; on chips
+    that emulate fp8 this is a numerics-parity mode, no perf claim), or
+    'bf16'.  ``v_quant=False`` is the legacy spelling of 'bf16'."""
+    if v_format is None:
+        v_format = "int8" if v_quant else "bf16"
+    if v_format not in ("int8", "fp8", "bf16"):
+        raise ValueError(f"v_format must be int8|fp8|bf16, got {v_format!r}")
+    return v_format
 
 
 def kv_cache_init(
@@ -108,12 +142,17 @@ def kv_cache_init(
     smooth_v: bool = True,
     v_quant: bool = True,
     v_margin: float = 1.25,
+    v_format: Optional[str] = None,
 ) -> KVCache:
     """Quantize prefill K/V into a cache preallocated to ``max_len``.
 
     ``v_margin`` stretches the per-channel V scale beyond the prefill amax
     so later tokens rarely clip; raise it (or set ``v_quant=False``) for
     workloads whose V magnitudes drift upward during generation.
+    ``v_format``: 'int8' (default) | 'fp8' (float8_e4m3fn codes, the
+    reference sm89 per-channel fp8-V semantics — decode then runs the
+    exp-offset fp8 PV path, native-rate on has_fast_fp8 generations,
+    numerics-parity elsewhere) | 'bf16' (= v_quant=False).
     """
     layout = get_layout(tensor_layout)
     if not layout.is_hnd:
@@ -132,10 +171,23 @@ def kv_cache_init(
     vm = (jnp.mean(vf, axis=2, keepdims=True) if smooth_v
           else jnp.zeros((B, Hk, 1, D), jnp.float32))
     k8, ks = _quant_k(kf, km)
-    if v_quant:
+    fmt = _v_format(v_quant, v_format)
+    if fmt != "bf16":
+        qmax = 127.0 if fmt == "int8" else FP8_SCALE_MAX
+        vdt = jnp.int8 if fmt == "int8" else jnp.float8_e4m3fn
         a = jnp.max(jnp.abs(vf - vm), axis=2, keepdims=True)  # [B,Hk,1,D]
-        vs = jnp.where(a > 1e-8, a * (v_margin / 127.0), 1.0)
-        vq = _quant_v(vf, vm, vs)
+        vs = jnp.where(a > 1e-8, a * (v_margin / qmax), 1.0)
+        vq = _quant_v(vf, vm, vs, vdt)
+        # Fold the per-channel ROUNDING BIAS into v_mean: decode outputs
+        # are p-weighted means whose magnitude is far below |v|, so the
+        # channel-mean quantization error (e4m3: 2-3e-3 rms — measured to
+        # dominate the fp8 cache's output error 2-4x) does not average
+        # out.  The epilogue adds v_mean once per row (sum_j p = 1), so
+        # storing vm - mean(codes)*vs makes the reconstruction's channel
+        # mean EXACTLY the true channel mean; appended tokens subtract
+        # the adjusted vm and stay consistent (fixed centering is free).
+        vm = vm - jnp.mean(vq.astype(jnp.float32), axis=2,
+                           keepdims=True) * vs
     else:
         vs = jnp.ones((B, Hk, 1, D), jnp.float32)
         vq = (vf - vm).astype(jnp.bfloat16)
@@ -160,10 +212,11 @@ def kv_cache_append(cache: KVCache, k_new, v_new,
         k_new = jnp.swapaxes(k_new, 1, 2)
         v_new = jnp.swapaxes(v_new, 1, 2)
     k8, ks = _quant_k(k_new.astype(jnp.float32), cache.k_mean)
-    if cache.v_int8:
-        vq = _quant_v(v_new.astype(jnp.float32), cache.v_mean, cache.v_scale)
-    else:
+    if cache.v.dtype == jnp.bfloat16:
         vq = (v_new.astype(jnp.float32) - cache.v_mean).astype(jnp.bfloat16)
+    else:
+        vq = _quant_v(v_new.astype(jnp.float32), cache.v_mean,
+                      cache.v_scale, cache.v.dtype)
     pos = cache.length
     return cache._replace(
         k8=jax.lax.dynamic_update_slice(cache.k8, k8, (0, 0, pos, 0)),
@@ -183,7 +236,7 @@ def kv_cache_trim(cache: KVCache, n) -> KVCache:
         length=jnp.maximum(cache.length - jnp.asarray(n, jnp.int32), 0))
 
 
-def decode_bucket(length: int, block: int = _BK_DEFAULT) -> int:
+def decode_bucket(length: int, block: int = _BUCKET_DEFAULT) -> int:
     """Smallest bucket (multiple of ``block``) covering ``length`` — pick
     buckets on the host so jit compiles one kernel per bucket, not per
     length."""
@@ -254,7 +307,8 @@ def sageattn_decode(
         causal=is_causal and T > 1,
         causal_dynamic=is_causal and T > 1,
         quantized=True,
-        pv_dtype="int8" if cache.v_int8 else "bf16",
+        pv_dtype=("fp8" if cache.v_fp8 else
+                  "int8" if cache.v_int8 else "bf16"),
         layout="HND",
         sm_scale=sm_scale,
         kv_len=bucket,
@@ -275,7 +329,7 @@ def sageattn_decode(
         cache.k8[:, :, :bucket],
         cache.v[:, :, :bucket],
         k_scale=cache.k_scale[:, :, :, :bucket],
-        v_scale=cache.v_scale if cache.v_int8 else None,
+        v_scale=None if cache.v.dtype == jnp.bfloat16 else cache.v_scale,
         v_mean=cache.v_mean,
         kv_true_dyn=cache.length,
         offsets=offsets,

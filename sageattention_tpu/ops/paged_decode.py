@@ -131,8 +131,11 @@ def _paged_kernel(
         p = jnp.exp2(s - _bcast(m_next, s.shape[1]))
         l_cur = jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, 0]
-        if v.dtype == jnp.int8:
-            v = v.astype(jnp.bfloat16)                    # scale in epilogue
+        if v.dtype != jnp.bfloat16:
+            # int8 codes are exact in bf16 (8 mantissa bits >= |code| <= 127)
+            # and so is fp8 e4m3 (3 mantissa bits < bf16's 7): storage-rate
+            # win either way, scale applied in the epilogue
+            v = v.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dispatch
+from .decode import FP8_SCALE_MAX, _quant_v, _v_format
 from .ops.attention import LOG2E
 from .ops.paged_decode import _TQ, paged_decode_call
 from .utils.layout import get_layout, round_up
@@ -157,6 +158,7 @@ def paged_prefill(
     smooth_v: bool = True,
     v_quant: bool = True,
     v_margin: float = 1.25,
+    v_format: Optional[str] = None,
 ) -> PagedKVCache:
     """Quantize a ragged prefill batch into a fresh page pool.
 
@@ -201,16 +203,38 @@ def paged_prefill(
     k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
 
     vc = jnp.where(valid, vf - vm, 0.0)
-    if v_quant:
+    fmt = _v_format(v_quant, v_format)
+    if fmt != "bf16":
+        qmax = 127.0 if fmt == "int8" else FP8_SCALE_MAX
+        vdt = jnp.int8 if fmt == "int8" else jnp.float8_e4m3fn
         av = jnp.max(jnp.abs(vc), axis=(0, 2), keepdims=True)  # [1,Hk,1,D]
-        vs = jnp.where(av > 1e-8, av * (v_margin / 127.0), 1.0)
-        vq = jnp.clip(jnp.rint(vc / vs), -127, 127).astype(jnp.int8)
+        vs = jnp.where(av > 1e-8, av * (v_margin / qmax), 1.0)
+        vq = _quant_v(vc, 0.0, vs, vdt)
+        # fold the pool-global per-channel rounding bias into v_mean
+        # (see decode.kv_cache_init — decode outputs are means, channel
+        # bias does not average out); pads quantize to 0 so the masked
+        # mean is sum(codes)/valid-count
+        count = jnp.maximum(jnp.sum(lengths), 1).astype(jnp.float32)
+        code_mean = (jnp.sum(vq.astype(jnp.float32), axis=(0, 2),
+                             keepdims=True) / count)[0:1]
+        vm = vm - code_mean * vs
     else:
         vs = jnp.ones((1, Hk, 1, D), jnp.float32)
         vq = vc.astype(jnp.bfloat16)
 
-    # scatter the sequences' pages into the pool: [B*n, Hk, page, D]
-    phys = page_table[:, :n_seq_pages].reshape(-1)          # [B*n]
+    # scatter the sequences' pages into the pool: [B*n, Hk, page, D].
+    # A sequence shorter than the padded input OWNS fewer pages than
+    # n_seq_pages — its table row is padded with 0s (build_table), and
+    # writing those slots would clobber whichever sequence really owns
+    # page 0 (found by the r4 TPU drive: len-700/500 pair at S_pad=768,
+    # seq1's dead third slot zeroed seq0's first page).  Redirect dead
+    # slots out of range; ``mode='drop'`` discards them, the same
+    # convention paged_append uses for page-crossing writes.
+    n_pages_of = -(-lengths // page)                        # [B] ceil; 0→0
+    slot_live = (jnp.arange(n_seq_pages)[None, :]
+                 < n_pages_of[:, None])                     # [B,n]
+    phys = jnp.where(slot_live, page_table[:, :n_seq_pages],
+                     num_pages).reshape(-1)                 # [B*n]
     k_pages = k8.reshape(B, Hk, n_seq_pages, page, D)
     k_pages = jnp.moveaxis(k_pages, 2, 1).reshape(-1, Hk, page, D)
     v_pages = vq.reshape(B, Hk, n_seq_pages, page, D)
@@ -220,11 +244,11 @@ def paged_prefill(
     ks_pages = jnp.moveaxis(ks_pages, 3, 1).reshape(-1, Hk, 1, page)
 
     k8_pool = jnp.zeros((num_pages, Hk, page, D), jnp.int8
-                        ).at[phys].set(k_pages)
+                        ).at[phys].set(k_pages, mode="drop")
     ks_pool = jnp.ones((num_pages, Hk, 1, page), jnp.float32
-                       ).at[phys].set(ks_pages)
+                       ).at[phys].set(ks_pages, mode="drop")
     v_pool = jnp.zeros((num_pages, Hk, page, D), vq.dtype
-                       ).at[phys].set(v_pages)
+                       ).at[phys].set(v_pages, mode="drop")
     return PagedKVCache(k8_pool, ks_pool, v_pool, vs, vm, km,
                         page_table, lengths)
 
@@ -270,11 +294,10 @@ def paged_insert(
     ks = jnp.where(a > 1e-8, a * (1.0 / 127.0), 1.0)
     k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
     vc = v.astype(jnp.float32) - cache.v_mean[0]
-    if cache.v_int8:
-        vq = jnp.clip(jnp.rint(vc / cache.v_scale[0]), -127, 127
-                      ).astype(jnp.int8)
-    else:
+    if cache.v_pool.dtype == jnp.bfloat16:
         vq = vc.astype(jnp.bfloat16)
+    else:
+        vq = _quant_v(vc, 0.0, cache.v_scale[0], cache.v_pool.dtype)
 
     phys = jnp.asarray(list(pages[:n]), jnp.int32)
     k_pages = jnp.moveaxis(k8.reshape(Hk, n, page, D), 1, 0)
@@ -315,11 +338,10 @@ def paged_append(cache: PagedKVCache, k_new, v_new,
     ks = jnp.where(a > 1e-8, a * (1.0 / 127.0), 1.0)        # [B,Hk,T,1]
     k8 = jnp.clip(jnp.rint(kc / ks), -127, 127).astype(jnp.int8)
     vc = v_new.astype(jnp.float32) - cache.v_mean
-    if cache.v_int8:
-        vq = jnp.clip(jnp.rint(vc / cache.v_scale), -127, 127
-                      ).astype(jnp.int8)
-    else:
+    if cache.v_pool.dtype == jnp.bfloat16:
         vq = vc.astype(jnp.bfloat16)
+    else:
+        vq = _quant_v(vc, 0.0, cache.v_scale, cache.v_pool.dtype)
 
     k8_pool, ks_pool, v_pool = cache.k8_pool, cache.ks_pool, cache.v_pool
     bidx = jnp.arange(B)

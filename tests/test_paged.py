@@ -208,6 +208,50 @@ class TestPagedDecode:
             ref = _oracle(q[b], k[b], v[b], lengths[b])
             assert calc_diff(out[b], ref) < BAR, b
 
+    def test_prefill_dead_slots_do_not_clobber(self):
+        """Regression (r4 TPU drive): a sequence reserving FEWER pages than
+        the padded input has pad slots (value 0) inside its table row's
+        first ``S_pad/page`` entries — paged_prefill's scatter must drop
+        them instead of overwriting physical page 0 (which belongs to
+        another sequence).  Repro: [700, 500] at S_pad=768, seq1 reserves
+        2 pages, its dead 3rd slot pointed at seq0's first page."""
+        B, H, D = 2, 2, 64
+        lengths = [700, 500]
+        k, v, s_pad = _mk_ragged(B, H, lengths, D, seed=9)
+        alloc = PageAllocator(8, PAGE)
+        rows = [alloc.reserve(-(-l // PAGE)) for l in lengths]  # 3 + 2
+        assert rows[0][0] == 0 and len(rows[1]) < s_pad // PAGE
+        table = build_table(rows, max_pages=3)
+        cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                              num_pages=8)
+        q = jax.random.normal(jax.random.PRNGKey(10), (B, 2 * H, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache,
+                                    pages_bucket=pages_bucket_for(cache),
+                                    interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, b
+
+    def test_prefill_zero_length_slot_writes_nothing(self):
+        """A length-0 slot (empty admission) must leave the pool untouched
+        even though its table row is all pad."""
+        B, H, D = 2, 2, 64
+        lengths = [300, 0]
+        k, v, _ = _mk_ragged(B, H, [300, 1], D, seed=11)
+        alloc = PageAllocator(4, PAGE)
+        rows = [alloc.reserve(2), []]
+        table = build_table(rows, max_pages=2)
+        cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                              num_pages=4)
+        q = jax.random.normal(jax.random.PRNGKey(12), (B, 2 * H, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache,
+                                    pages_bucket=pages_bucket_for(cache),
+                                    interpret=True)
+        ref = _oracle(q[0], k[0], v[0], 300)
+        assert calc_diff(out[0], ref) < BAR
+
 
 class TestSlidingWindowDecode:
     def _swa_oracle(self, q, k, v, length, W):

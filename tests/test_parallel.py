@@ -247,3 +247,120 @@ class TestUlyssesPadding:
         out = ulysses_sageattn(q, k, v, mesh4, is_causal=True,
                                pv_dtype="bf16")
         assert calc_diff(out, sdpa(q, k, v, is_causal=True)) < 1e-3
+
+
+class TestTPPagedServing:
+    """Tensor-parallel paged serving (VERDICT r3 #3): the paged pool is
+    embarrassingly parallel over KV heads — shard every pool/stat leaf on
+    its head axis, replicate tables/lengths, and each shard runs the exact
+    single-device kernel on its own heads.  Sharded output must match the
+    single-device paged decode on the full cache."""
+
+    @pytest.fixture(scope="module")
+    def mesh_tp2(self):
+        return make_mesh(dp=1, sp=1, tp=2, devices=jax.devices()[:2])
+
+    @staticmethod
+    def _tp_specs():
+        from jax.sharding import PartitionSpec as P
+        from sageattention_tpu.paged import PagedKVCache
+        head1 = P(None, "tp")
+        cache_specs = PagedKVCache(
+            k8_pool=head1, ks_pool=head1, v_pool=head1,
+            v_scale=head1, v_mean=head1, k_mean=head1,
+            page_table=P(), lengths=P())
+        return head1, cache_specs
+
+    @staticmethod
+    def _build_cache(B=2, Hk=4, D=64, PAGE=256, lengths=(512, 384),
+                     max_pages=3, num_pages=8):
+        from sageattention_tpu.paged import (PageAllocator, build_table,
+                                             paged_prefill)
+        S_pad = max(-(-l // PAGE) * PAGE for l in lengths)
+        r = jax.random.split(jax.random.PRNGKey(50), 2)
+        k = jax.random.normal(r[0], (B, Hk, S_pad, D), jnp.bfloat16)
+        v = jax.random.normal(r[1], (B, Hk, S_pad, D), jnp.bfloat16)
+        alloc = PageAllocator(num_pages, PAGE)
+        table = build_table(
+            [alloc.reserve(-(-l // PAGE)) for l in lengths], max_pages)
+        cache = paged_prefill(k, v, jnp.asarray(lengths, jnp.int32), table,
+                              num_pages=num_pages, page_size=PAGE)
+        return cache, alloc
+
+    def test_paged_decode_sharded_matches_single(self, mesh_tp2):
+        from jax import shard_map
+        from sageattention_tpu.paged import (pages_bucket_for,
+                                             sageattn_decode_paged)
+
+        B, Hq, Hk, D = 2, 8, 4, 64
+        cache, _ = self._build_cache(B=B, Hk=Hk, D=D)
+        q = jax.random.normal(jax.random.PRNGKey(51), (B, Hq, 1, D),
+                              jnp.bfloat16)
+        pb = pages_bucket_for(cache)
+        single = sageattn_decode_paged(q, cache, pages_bucket=pb)
+
+        head1, cache_specs = self._tp_specs()
+        fn = shard_map(
+            lambda q, c: sageattn_decode_paged(q, c, pages_bucket=pb),
+            mesh=mesh_tp2, in_specs=(head1, cache_specs), out_specs=head1,
+            check_vma=False)
+        sharded = jax.jit(fn)(q, cache)
+        assert sharded.shape == single.shape
+        # heads are independent: per-shard kernels see the exact same
+        # per-head data, so this is the same computation re-partitioned
+        assert calc_diff(sharded, single) < 1e-6
+
+    def test_paged_continuous_batching_step_sharded(self, mesh_tp2):
+        """One continuous-batching step — ragged append (with an inactive
+        slot) THEN decode — run entirely inside shard_map, vs the same
+        step single-device."""
+        from jax import shard_map
+        from sageattention_tpu.paged import (pages_bucket_for, paged_append,
+                                             sageattn_decode_paged)
+
+        B, Hq, Hk, D = 2, 8, 4, 64
+        cache, _ = self._build_cache(B=B, Hk=Hk, D=D)
+        r = jax.random.split(jax.random.PRNGKey(52), 3)
+        k1 = jax.random.normal(r[0], (B, Hk, 1, D), jnp.bfloat16)
+        v1 = jax.random.normal(r[1], (B, Hk, 1, D), jnp.bfloat16)
+        q = jax.random.normal(r[2], (B, Hq, 1, D), jnp.bfloat16)
+        active = jnp.asarray([True, False])
+        pb = pages_bucket_for(cache)
+
+        def step(q, c, k1, v1):
+            c = paged_append(c, k1, v1, active=active)
+            return sageattn_decode_paged(q, c, pages_bucket=pb), c.lengths
+
+        single, lens = step(q, cache, k1, v1)
+
+        head1, cache_specs = self._tp_specs()
+        fn = shard_map(step, mesh=mesh_tp2,
+                       in_specs=(head1, cache_specs, head1, head1),
+                       out_specs=(head1, jax.sharding.PartitionSpec()),
+                       check_vma=False)
+        sharded, lens_sh = jax.jit(fn)(q, cache, k1, v1)
+        assert calc_diff(sharded, single) < 1e-6
+        np.testing.assert_array_equal(np.asarray(lens_sh), np.asarray(lens))
+        np.testing.assert_array_equal(np.asarray(lens), [513, 384])
+
+    def test_paged_swa_decode_sharded(self, mesh_tp2):
+        """Sliding-window + sinks paged decode under tp (the scalar-prefetch
+        shifted tables are per-sequence, head-agnostic — sharding over heads
+        must not disturb them)."""
+        from jax import shard_map
+        from sageattention_tpu.paged import sageattn_decode_paged
+
+        B, Hq, Hk, D = 2, 8, 4, 64
+        cache, _ = self._build_cache(B=B, Hk=Hk, D=D)
+        q = jax.random.normal(jax.random.PRNGKey(53), (B, Hq, 1, D),
+                              jnp.bfloat16)
+        kw = dict(sliding_window=256, attention_sinks=16)
+        single = sageattn_decode_paged(q, cache, **kw)
+
+        head1, cache_specs = self._tp_specs()
+        fn = shard_map(
+            lambda q, c: sageattn_decode_paged(q, c, **kw),
+            mesh=mesh_tp2, in_specs=(head1, cache_specs), out_specs=head1,
+            check_vma=False)
+        sharded = jax.jit(fn)(q, cache)
+        assert calc_diff(sharded, single) < 1e-6

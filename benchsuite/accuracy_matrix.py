@@ -229,6 +229,40 @@ def main():
     print(f"{'paged decode sliding window W=1024':<52} diff={d:.2e}  "
           f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
 
+    # 7. r4 outlier-realistic rows (VERDICT r3 weak #5): the regimes
+    # smooth_k / fine granularity exist for — LLM-activation-like K channel
+    # bias (50-100x RMS) and heavy-tailed t(3) Q/K.  Margins pinned on CPU
+    # in tests/test_outliers.py; these are the COMPILED-kernel confirmations.
+    q, k, v = mk(S=4096, key=13)
+    k = k.at[..., :3].add(jnp.asarray([60.0, -45.0, 80.0], k.dtype))
+    row("K channel-bias 60-80x, smooth_k (auto)", q, k, v)
+    d_off = float(calc_diff(
+        jax.jit(functools.partial(sa.sageattn_qk_int8_pv_bf16,
+                                  smooth_k=False))(q, k, v),
+        sdpa(q, k, v)))
+    print(f"{'  (margin: smooth_k=False reads)':<52} diff={d_off:.2e}  "
+          f"(expected >20x the smoothed row)", flush=True)
+
+    kq, kk2, kv2 = jax.random.split(jax.random.PRNGKey(14), 3)
+    q = jax.random.t(kq, 3.0, (1, 4, 4096, 128), jnp.float32
+                     ).astype(jnp.bfloat16)
+    k = jax.random.t(kk2, 3.0, (1, 4, 4096, 128), jnp.float32
+                     ).astype(jnp.bfloat16)
+    v = jax.random.normal(kv2, (1, 4, 4096, 128), jnp.bfloat16)
+    row("heavy-tail t3 auto (per-row Q quant)", q, k, v, bar=8e-3)
+    row("heavy-tail t3 causal", q, k, v, bar=8e-3, is_causal=True)
+    for gran in ("per_block", "per_thread"):
+        row(f"heavy-tail t3 {gran} (margin ladder)", q, k, v, bar=3e-2,
+            fn=sa.sageattn_qk_int8_pv_bf16, qk_quant_gran=gran,
+            fuse_q_quant=False)
+
+    q, k, v = mk(S=4096, key=15)
+    v = v.at[..., 5].multiply(80.0)
+    row("V channel x80 per-channel scale (pv int8)", q, k, v,
+        fn=sa.sageattn_qk_int8_pv_int8)
+    row("V channel x80 (pv fp8)", q, k, v, bar=5e-3,
+        fn=sa.sageattn_qk_int8_pv_fp8)
+
     print(f"MATRIX {'PASS' if not FAILS else 'FAIL: ' + ', '.join(FAILS)}",
           flush=True)
     return 1 if FAILS else 0

@@ -66,6 +66,20 @@ def sage_dot_product_attention(
                    or key_value_seq_lengths is not None
                    or local_window_size is not None)
     if unsupported:
+        # Loud-failure rule (models/llm.py pattern): the exact jax.nn
+        # fallback cannot honor sage-only semantics.  Silently computing
+        # full attention where sinks/window were requested would be a
+        # correctness bug, not a fallback.
+        if kwargs.get("attention_sinks"):
+            raise NotImplementedError(
+                "attention_sinks cannot combine with "
+                "query/key_value_seq_lengths or a non-causal/two-sided "
+                "local_window_size; jax.nn.dot_product_attention has no "
+                "sink semantics to fall back to.")
+        if sliding:
+            # re-attach the extracted causal window so the fallback stays
+            # exact instead of quietly widening to full attention
+            local_window_size = (sliding - 1, 0)
         return _ORIG_DOT_PRODUCT_ATTENTION(
             query, key, value, bias=bias, mask=mask, scale=scale,
             is_causal=is_causal, query_seq_lengths=query_seq_lengths,

@@ -285,27 +285,38 @@ def sageattn_decode(
         raise ValueError(f"bucket ({bucket}) exceeds cache max_len ({Smax})")
     G = Hq // Hk
 
-    # T=1: fold the G query heads of each KV group into the Q tile — the
-    # KV stream is fetched once per KV head instead of once per query head.
-    fold = T == 1 and G > 1 and G <= _BQ
+    # Fold the G query heads of each KV group into the Q tile — the KV
+    # stream is fetched once per KV head instead of once per query head.
+    # T=1 (classic decode) folds to G rows; T>1 (speculative verify
+    # windows) folds to G*T rows r = g*T + t, with the kernel's causal row
+    # iota taken mod T (cfg.causal_row_mod) so row positions stay correct.
+    # Fold iff it strictly reduces KV streams per KV head:
+    # ceil(G*T/_BQ) q-tiles folded vs G tiles (one per query head) unfolded.
+    fold = G > 1 and (T == 1 or -(-(G * T) // _BQ) < G)
     if fold:
-        qt = q.reshape(B, Hk, G, D)
-        Ht, Sq_true = Hk, G
+        qt = q.reshape(B, Hk, G * T, D)
+        Ht, Sq_true = Hk, G * T
     else:
         qt, Ht, Sq_true = q, Hq, T
 
     BK = block_k or min(_BK_DEFAULT, bucket)
     while bucket % BK:
         BK //= 2
+    # inner sub-tile must DIVIDE the major tile (non-power-of-2 buckets
+    # like 1152 keep BK = bucket; min(BK, 256) alone need not divide it)
+    BKI = min(BK, 256)
+    while BK % BKI:
+        BKI //= 2
     Sq_pad = round_up(max(Sq_true, _BQ), _BQ)
     qt = pad_axis(qt.astype(jnp.bfloat16), 2, Sq_pad)
 
     cfg = AttnConfig(
         block_q=_BQ,
         block_k=BK,
-        block_k_inner=min(BK, 256),
+        block_k_inner=BKI,
         causal=is_causal and T > 1,
         causal_dynamic=is_causal and T > 1,
+        causal_row_mod=T if (fold and is_causal and T > 1) else 0,
         quantized=True,
         pv_dtype=("fp8" if cache.v_fp8 else
                   "int8" if cache.v_int8 else "bf16"),
@@ -338,7 +349,7 @@ def sageattn_decode(
     )
     out = out[:, :, :Sq_true]
     if fold:
-        out = out.reshape(B, Hq, 1, D)
+        out = out.reshape(B, Hq, T, D)
     if not layout.is_hnd:
         out = jnp.swapaxes(out, 1, 2)
     return out

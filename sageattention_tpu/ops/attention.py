@@ -79,6 +79,13 @@ class AttnConfig:
     # CLAMP to the last needed block so skipped steps re-use the resident
     # block instead of fetching one that will never be read.
     causal_dynamic: bool = False
+    causal_row_mod: int = 0  # r4: folded-GQA verify windows (decode T>1).
+    # The host folds the G query heads of a KV group into the Q tile as
+    # rows r = g*T + t, so a row's GLOBAL position is q_start + (r mod T),
+    # not q_start + r.  Nonzero => the causal row iota is taken mod this
+    # value.  Lets a T-token speculative-verify window stream the KV cache
+    # once per KV head instead of once per query head (G x less DMA on the
+    # bandwidth-bound decode path).  causal_dynamic only.
     quantized: bool = True
     pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
     compute_dtype: str = "native"  # "native": dots run in the storage dtype
@@ -341,7 +348,11 @@ def _attn_kernel(
         q_start = offs_ref[0]
         kv_start = offs_ref[1]
         # major tile participates iff its first kv position <= last q position
-        run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
+        if cfg.causal_row_mod:
+            # folded rows: positions cycle in [q_start, q_start + mod)
+            run = (j * BK + kv_start) <= (q_start + cfg.causal_row_mod - 1)
+        else:
+            run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
     elif cfg.causal:
         q_start = kv_start = 0
         run = (j * BK) <= (i * BQ + BQ - 1)
@@ -439,7 +450,10 @@ def _attn_kernel(
                 s = jnp.where(cols < kvl, s, MASK_NEG)
             if cfg.causal and causal_mask:
                 rows = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 0)
-                        + i * BQ + q_start)
+                        + i * BQ)
+                if cfg.causal_row_mod:
+                    rows = rows % cfg.causal_row_mod
+                rows = rows + q_start
                 cols = (jax.lax.broadcasted_iota(jnp.int32, (BQ, BKI), 1)
                         + col0 + kv_start)
                 keep = cols <= rows

@@ -116,10 +116,16 @@ def _paged_kernel(
             if sliding and sinks:
                 # sink slots keep [0, sinks); window slots keep [lo, len) —
                 # the wrapper guarantees lo >= sinks, so no token is
-                # softmax-counted twice even when the regions touch
+                # softmax-counted twice even when the regions touch.
+                # Boolean algebra, not jnp.where: Mosaic can't legalize
+                # arith.select on i1 vectors (measured r4, probe_serving).
+                is_sink_page = jp < sink_pages
                 keep = jnp.logical_and(
-                    keep, jnp.where(jp < sink_pages, cols < sinks,
-                                    cols >= lo_ref[b]))
+                    keep,
+                    jnp.logical_or(
+                        jnp.logical_and(is_sink_page, cols < sinks),
+                        jnp.logical_and(jnp.logical_not(is_sink_page),
+                                        cols >= lo_ref[b])))
             elif sliding:
                 keep = jnp.logical_and(keep, cols >= lo_ref[b])
             s = jnp.where(keep, s, MASK_NEG)

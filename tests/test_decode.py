@@ -70,12 +70,37 @@ class TestDecodeBasic:
         out = sageattn_decode(q, cache, interpret=True)
         assert calc_diff(out, _oracle_decode(q, k, v, T)) < BAR
 
-    def test_windowed_gqa_no_fold(self):
+    def test_windowed_gqa_fold(self):
+        # r4: T>1 GQA verify windows FOLD (G*T rows, causal_row_mod=T) so
+        # the KV stream is fetched once per KV head, not per query head
         T = 3
         q, k, v = _mk(B=1, Hq=4, Hk=2, S=140, T=T, seed=3)
         cache = kv_cache_init(k, v, max_len=256)
         out = sageattn_decode(q, cache, interpret=True)
         assert calc_diff(out, _oracle_decode(q, k, v, T)) < BAR
+
+    def test_windowed_gqa_fold_multi_tile(self):
+        # folded rows G*T = 40 > _BQ (32): the row-mod causal mask must
+        # stay correct across q-tile boundaries (rows are globally linear)
+        T = 5
+        q, k, v = _mk(B=1, Hq=8, Hk=1, S=140, T=T, seed=11)
+        cache = kv_cache_init(k, v, max_len=256)
+        out = sageattn_decode(q, cache, interpret=True)
+        assert calc_diff(out, _oracle_decode(q, k, v, T)) < BAR
+
+    def test_windowed_gqa_fold_noncausal(self):
+        # non-causal T>1 fold: every row sees the whole cache
+        T = 4
+        q, k, v = _mk(B=1, Hq=6, Hk=2, S=120, T=T, seed=12)
+        cache = kv_cache_init(k, v, max_len=256)
+        out = sageattn_decode(q, cache, is_causal=False, interpret=True)
+        import jax.numpy as _jnp
+        G = 3
+        ka = _jnp.repeat(k, G, axis=1)
+        va = _jnp.repeat(v, G, axis=1)
+        s = _jnp.einsum("bhtd,bhsd->bhts", q, ka) / (q.shape[-1] ** 0.5)
+        ref = _jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1), va)
+        assert calc_diff(out, ref) < BAR
 
     def test_v_bf16_mode(self):
         q, k, v = _mk(B=1, Hq=2, S=130, T=1, seed=4)
@@ -162,6 +187,15 @@ class TestBuckets:
         # a larger bucket must give the same answer
         out2 = sageattn_decode(q, cache, bucket=512, interpret=True)
         assert calc_diff(out2, ref) < BAR
+
+    def test_bucket_non_pow2(self):
+        # r4 regression: bucket 1152 keeps BK = 1152 (divides itself) but
+        # min(BK, 256) does not divide it — the inner sub-tile must halve
+        # to a divisor (128) instead of tripping the kernel's assert
+        q, k, v = _mk(B=1, Hq=2, S=200, T=1, seed=13)
+        cache = kv_cache_init(k, v, max_len=1152)
+        out = sageattn_decode(q, cache, interpret=True)
+        assert calc_diff(out, _oracle_decode(q, k, v, 1)) < BAR
 
     def test_bucket_too_large(self):
         q, k, v = _mk(S=128, T=1)

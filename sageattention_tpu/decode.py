@@ -44,6 +44,7 @@ machinery (a prefill win) buys nothing here.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -55,13 +56,13 @@ from .utils.layout import get_layout, pad_axis, round_up
 
 _LANES = 128
 _BQ = 32          # int8 Q scratch min sublane tile (32, 128)
-# 2048-col KV tiles: decode is per-grid-step bound, not byte bound — the r4
-# bk sweep (benchsuite/probe_decode.py SAGE_BK_SWEEP) measured 512->2048
-# worth ~9% at 16K-128K (1727->1583 us) with no loss at 4K.  The tile is a
-# CAP, applied only when the bucket is large enough; bucket granularity
-# stays 512 so short caches keep r3's footprint and numerics (a 2048-min
-# bucket quadrupled tiny caches and flipped near-tie argmaxes under the
-# bigger masked tile).
+# 2048-col KV tiles: the r4 sweeps (SAGE_BK_SWEEP; probe_decode_split.py
+# with whole-tile dots + kv_split) put 2048 at or within noise of the best
+# (877 us wall @16K vs 919 at 4096, 1031 at 1024).  The tile is a CAP,
+# applied only when the bucket is large enough; bucket granularity stays
+# 512 so short caches keep r3's footprint and numerics (a 2048-min bucket
+# quadrupled tiny caches and flipped near-tie argmaxes under the bigger
+# masked tile).
 _BK_DEFAULT = 2048
 _BUCKET_DEFAULT = 512
 
@@ -302,11 +303,26 @@ def sageattn_decode(
     BK = block_k or min(_BK_DEFAULT, bucket)
     while bucket % BK:
         BK //= 2
-    # inner sub-tile must DIVIDE the major tile (non-power-of-2 buckets
-    # like 1152 keep BK = bucket; min(BK, 256) alone need not divide it)
-    BKI = min(BK, 256)
+    # Whole-tile inner dots: the prefill kernel's BKI=256 sub-tile loop
+    # (an MXU/VPU interleaving win under 128-row Q tiles) is a ~1.8x LOSS
+    # here — with a 32-row Q tile each sub-tile's dot is tiny and the
+    # dynamic-tail pl.when pair per sub-tile serializes the step
+    # (benchsuite/probe_decode_split.py: 1851 -> 1041 us wall @16K).
+    # SAGE_DECODE_BKI=256 restores the old behavior for A/B.
+    BKI = min(BK, int(os.environ.get("SAGE_DECODE_BKI", "0")) or BK)
     while BK % BKI:
         BKI //= 2
+    # Stream the cache as concurrent K/V operand pairs: each Pallas
+    # operand stream is element-rate bound (~85-110 Gel/s) but streams
+    # overlap (probe_dma_rate: 2 -> 220, 4 -> 333 Gel/s).  On the full
+    # decode body (whole-tile dots): split 0 -> 1041 us, 2 -> 902,
+    # 4 -> 877 wall @16K (probe_decode_split.py).  Largest power of two
+    # <= the env default that divides the bucket's block count wins.
+    split = int(os.environ.get("SAGE_DECODE_SPLIT", "4"))
+    n_kv = bucket // BK
+    while split > 1 and not (n_kv >= split and n_kv % split == 0):
+        split //= 2
+    split = max(split, 1)
     Sq_pad = round_up(max(Sq_true, _BQ), _BQ)
     qt = pad_axis(qt.astype(jnp.bfloat16), 2, Sq_pad)
 
@@ -329,6 +345,7 @@ def sageattn_decode(
         emit_lse=False,
         fuse_q_quant=True,
         softmax_mode="online",
+        kv_split=split,
     )
     offsets = None
     if cfg.causal:

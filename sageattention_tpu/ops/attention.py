@@ -166,6 +166,17 @@ class AttnConfig:
     # below-window clamp passes them through), cost O(S*(window+sinks)).
     # Requires window; mutually exclusive with segments (sinks are global
     # positions — a packed batch would need per-segment sinks).
+    kv_split: int = 1  # r4: stream the KV cache as this many CONCURRENT
+    # operand pairs.  probe_dma_rate measured each Pallas operand stream
+    # topping out at ~85 Gelements/s regardless of dtype, while streams
+    # overlap almost linearly (2 -> ~170, 4 -> ~291 Gel/s) — so a decode
+    # step (pure KV streaming past a tiny Q tile) is operand-bound, not
+    # byte-bound.  kv_split=W passes K, V (and per-col k_scale) W times
+    # with interleaved index maps (way w fetches blocks W*j + w) and the
+    # kv grid dim shrinks by W: one grid step streams W blocks on 2W+
+    # independent DMA channels.  Decode-path only: online softmax, no
+    # masks/segments/windows, causal only via causal_dynamic (verify
+    # windows).  Prefill keeps 1 (its big tiles already saturate).
     softmax_mode: str = "online"  # "online": classic flash running-max.
     # "static": the max is replaced by a precomputed per-row upper bound C_i
     # on the base-2 logits (Cauchy–Schwarz on the int8 payloads and scales,
@@ -244,13 +255,15 @@ def _attn_kernel(
     del table_ref  # consumed by the index maps only
     offs_ref = next(it) if (cfg.causal and cfg.causal_dynamic) else None
     kvt_ref = next(it) if cfg.kv_len_dynamic else None
+    W = max(cfg.kv_split, 1)
     q_ref = next(it)
-    k_ref = next(it)
-    v_ref = next(it)
+    k_refs = [next(it) for _ in range(W)]
+    v_refs = [next(it) for _ in range(W)]
     static_mode = cfg.softmax_mode == "static"
     knmax_ref = None
     vm_ref = None
     qs_ref = ksh_ref = None
+    ks_refs = None
     if cfg.quantized:
         if cfg.fuse_q_quant:
             # per-head (or per-Q-row, fuse_k_rows) K scale; absent without
@@ -258,7 +271,7 @@ def _attn_kernel(
             ksh_ref = next(it) if cfg.fold_k_scale else None
         else:
             qs_ref = next(it)
-        ks_ref = None if cfg.fold_k_scale else next(it)
+        ks_refs = None if cfg.fold_k_scale else [next(it) for _ in range(W)]
         vs_ref = next(it) if cfg.pv_dtype in ("int8", "fp8") else None
         vm_ref = next(it) if cfg.fuse_v_mean else None
         knmax_ref = next(it) if static_mode else None
@@ -344,55 +357,64 @@ def _attn_kernel(
             qbf_scr[...] = (q_ref[0, 0].astype(jnp.float32)
                             * qs_ref[0, 0]).astype(jnp.bfloat16)
 
+    n_blocks = n_kv * W   # total kv blocks (n_kv is the GRID extent)
+
     if cfg.causal and cfg.causal_dynamic:
         q_start = offs_ref[0]
         kv_start = offs_ref[1]
-        # major tile participates iff its first kv position <= last q position
-        if cfg.causal_row_mod:
-            # folded rows: positions cycle in [q_start, q_start + mod)
-            run = (j * BK + kv_start) <= (q_start + cfg.causal_row_mod - 1)
-        else:
-            run = (j * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
     elif cfg.causal:
         q_start = kv_start = 0
-        run = (j * BK) <= (i * BQ + BQ - 1)
-        if cfg.window:
-            # major tile participates iff its last kv position is inside
-            # the widest window any of the tile's rows can see (or the
-            # tile holds sink keys, which every row sees)
-            in_band = (j * BK + BK - 1) >= (i * BQ - cfg.window + 1)
-            if cfg.sinks and cfg.segmented:
-                # per-SEGMENT sinks: the tile is live iff some kv token
-                # sits in the first `sinks` positions of its own segment
-                # (dynamic — pads carry a huge segpos so they never match)
-                in_band = jnp.logical_or(
-                    in_band, jnp.min(kv_segpos_ref[0]) < cfg.sinks)
-            elif cfg.sinks:
-                in_band = jnp.logical_or(in_band, j * BK < cfg.sinks)
-            run = jnp.logical_and(run, in_band)
     else:
         q_start = kv_start = None
-        # skip kv blocks entirely past the true length (their DMA is also
-        # clamped away in _specs on the static path).  Padding exists
-        # whenever kv_len < the gridded extent — NOT merely when kv_len is
-        # block-unaligned (pre-padded kv_true inputs can be aligned).
-        if cfg.kv_len_dynamic:
-            run = j * BK < kvt_ref[0]
-        elif cfg.kv_len < n_kv * BK:
-            run = j * BK < cfg.kv_len
-        else:
-            run = True
-    if minfo_ref is not None:
-        # fully-masked block: skip all compute (the reference triton
-        # block-skip, `attn_qk_int8_per_block.py:33-39`); its DMA was
-        # already redirected to a resident block by the remap table
-        b_idx = pl.program_id(0)
-        h_idx = pl.program_id(1)
-        hm = 0 if mask_heads == 1 else h_idx
-        run = jnp.logical_and(run, minfo_ref[b_idx, hm, i, j] != 0)
 
-    @pl.when(run)
-    def _body():
+    def _way(w, k_ref, v_ref, ks_ref):
+        jj = j * W + w   # this way's kv block index (jj == j when W == 1)
+        if cfg.causal and cfg.causal_dynamic:
+            # major tile participates iff its first kv position <= last q
+            # position
+            if cfg.causal_row_mod:
+                # folded rows: positions cycle in [q_start, q_start + mod)
+                run = (jj * BK + kv_start) <= (q_start + cfg.causal_row_mod - 1)
+            else:
+                run = (jj * BK + kv_start) <= (i * BQ + q_start + BQ - 1)
+        elif cfg.causal:
+            run = (jj * BK) <= (i * BQ + BQ - 1)
+            if cfg.window:
+                # major tile participates iff its last kv position is inside
+                # the widest window any of the tile's rows can see (or the
+                # tile holds sink keys, which every row sees)
+                in_band = (jj * BK + BK - 1) >= (i * BQ - cfg.window + 1)
+                if cfg.sinks and cfg.segmented:
+                    # per-SEGMENT sinks: the tile is live iff some kv token
+                    # sits in the first `sinks` positions of its own segment
+                    # (dynamic — pads carry a huge segpos so they never match)
+                    in_band = jnp.logical_or(
+                        in_band, jnp.min(kv_segpos_ref[0]) < cfg.sinks)
+                elif cfg.sinks:
+                    in_band = jnp.logical_or(in_band, jj * BK < cfg.sinks)
+                run = jnp.logical_and(run, in_band)
+        else:
+            # skip kv blocks entirely past the true length (their DMA is also
+            # clamped away in _specs on the static path).  Padding exists
+            # whenever kv_len < the gridded extent — NOT merely when kv_len is
+            # block-unaligned (pre-padded kv_true inputs can be aligned).
+            if cfg.kv_len_dynamic:
+                run = jj * BK < kvt_ref[0]
+            elif cfg.kv_len < n_blocks * BK:
+                run = jj * BK < cfg.kv_len
+            else:
+                run = True
+        if minfo_ref is not None:
+            # fully-masked block: skip all compute (the reference triton
+            # block-skip, `attn_qk_int8_per_block.py:33-39`); its DMA was
+            # already redirected to a resident block by the remap table
+            b_idx = pl.program_id(0)
+            h_idx = pl.program_id(1)
+            hm = 0 if mask_heads == 1 else h_idx
+            run = jnp.logical_and(run, minfo_ref[b_idx, hm, i, j] != 0)
+        pl.when(run)(lambda: _body(jj, k_ref, v_ref, ks_ref))
+
+    def _body(jj, k_ref, v_ref, ks_ref):
         if dq_compute:
             q = qbf_scr[...]
         elif fuse_native:
@@ -414,7 +436,7 @@ def _attn_kernel(
             sl = slice(t * BKI, (t + 1) * BKI)
             k = k_ref[0, 0, sl, :]
             v = v_ref[0, 0, sl, :]
-            col0 = j * BK + t * BKI
+            col0 = jj * BK + t * BKI
 
             if dq_compute:
                 # bf16 compute on int8 storage: k holds exact small integers
@@ -542,7 +564,7 @@ def _attn_kernel(
         # causal mask cols <= r already excludes the pad columns (pad rows
         # compute garbage that the caller slices off).  Segmented (varlen)
         # calls pass kv_len == Sk_pad, eliding it too.
-        has_tail = cfg.kv_len < n_kv * BK or cfg.kv_len_dynamic
+        has_tail = cfg.kv_len < n_blocks * BK or cfg.kv_len_dynamic
         static_causal = cfg.causal and not cfg.causal_dynamic
         for t in range(n_inner):
             if cfg.causal:
@@ -550,7 +572,7 @@ def _attn_kernel(
                 # run strictly-below-diagonal ones WITHOUT the causal mask
                 # (its iota/compare/select costs ~4 VPU ops/elem — most of
                 # the static softmax's total), mask only boundary tiles.
-                first_kv = j * BK + t * BKI + kv_start
+                first_kv = jj * BK + t * BKI + kv_start
                 last_kv = first_kv + BKI - 1
                 first_q = i * BQ + q_start
                 last_q = first_q + BQ - 1
@@ -587,7 +609,7 @@ def _attn_kernel(
                 pl.when(jnp.logical_and(sub_run, jnp.logical_not(full)))(
                     lambda t=t: sub_tile(t, causal_mask=True, tail_mask=tail))
             elif has_tail:
-                col0 = j * BK + t * BKI
+                col0 = jj * BK + t * BKI
                 kvl = kvt_ref[0] if cfg.kv_len_dynamic else cfg.kv_len
                 inside = col0 + BKI <= kvl          # fully inside: no mask
                 beyond = col0 >= kvl                # fully past: skip
@@ -597,6 +619,9 @@ def _attn_kernel(
                     lambda t=t: sub_tile(t, tail_mask=True))
             else:
                 sub_tile(t, tail_mask=False)
+
+    for w in range(W):
+        _way(w, k_refs[w], v_refs[w], ks_refs[w] if ks_refs else None)
 
     @pl.when(j == n_kv - 1)
     def _epilogue():
@@ -648,6 +673,7 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
     """
     BQ, BK = cfg.block_q, cfg.block_k
     G = Hq // Hk
+    W = max(cfg.kv_split, 1)
     prefetch = cfg.masked == "bool"
 
     if prefetch:
@@ -697,13 +723,31 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
         def ks_im(b, h, i, j, *_):
             return (b, h // G, 0, _j(i, j))
 
+    if W > 1:
+        # kv_split: way w's index maps fetch block W*j + w — the same array
+        # passed W times becomes W independent DMA channels (probe_dma_rate:
+        # per-operand streams cap at ~85 Gel/s but overlap ~linearly)
+        def _mk_way(w):
+            def kv_im_w(b, h, i, j, *_):
+                return (b, h // G, _j(i, W * j + w), 0)
+
+            def ks_im_w(b, h, i, j, *_):
+                return (b, h // G, 0, _j(i, W * j + w))
+            return kv_im_w, ks_im_w
+
+        way_maps = [_mk_way(w) for w in range(W)]
+        k_specs = [pl.BlockSpec((1, 1, BK, D), m[0]) for m in way_maps]
+        v_specs = [pl.BlockSpec((1, 1, BK, D), m[0]) for m in way_maps]
+        ks_specs = [pl.BlockSpec((1, 1, 1, BK), m[1]) for m in way_maps]
+    else:
+        k_specs = [pl.BlockSpec((1, 1, BK, D), kv_im)]
+        v_specs = [pl.BlockSpec((1, 1, BK, D), kv_im)]
+        ks_specs = [pl.BlockSpec((1, 1, 1, BK), ks_im)]
+
     q_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j, *_: (b, h, i, 0))
-    k_spec = pl.BlockSpec((1, 1, BK, D), kv_im)
-    v_spec = pl.BlockSpec((1, 1, BK, D), kv_im)
     o_spec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j, *_: (b, h, i, 0))
 
     qs_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j, *_: (b, h, i, 0))
-    ks_spec = pl.BlockSpec((1, 1, 1, BK), ks_im)
     vs_spec = pl.BlockSpec((1, 1, 1, D),
                            lambda b, h, i, j, *_: (b, h // G, 0, 0))
     # lse carries a trailing singleton dim so the (BQ, 1) block satisfies TPU
@@ -711,7 +755,7 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
     lse_spec = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j, *_: (b, h, i, 0))
     qseg_spec = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j, *_: (b, i, 0))
     kseg_spec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j, *_: (b, 0, j))
-    return q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec, qseg_spec, kseg_spec
+    return q_spec, k_specs, v_specs, qs_spec, ks_specs, vs_spec, o_spec, lse_spec, qseg_spec, kseg_spec
 
 
 def attention_call(
@@ -808,10 +852,24 @@ def attention_call(
             "static + float bias needs the fused post-hoc safety check"
         assert not cfg.p_sim_fp4, "fp4 P simulation needs the online row max"
     n_q, n_kv = Sq // BQ, Sk // BK
+    W = max(cfg.kv_split, 1)
+    if W > 1:
+        # decode-path option (see AttnConfig.kv_split): the feature subset
+        # is the KV-cache decode kernel's — online softmax, dynamic lengths,
+        # dynamic-causal verify windows; everything whose index maps or
+        # masks are per-block stays on the single-stream path.
+        assert cfg.masked == "none" and not cfg.segmented, \
+            "kv_split composes with no masks/segments"
+        assert cfg.window == 0 and cfg.sinks == 0
+        assert cfg.softmax_mode == "online" and not cfg.p_sim_fp4
+        assert not (cfg.causal and not cfg.causal_dynamic), \
+            "kv_split + static causal not supported (prefill keeps W=1)"
+        assert n_kv % W == 0, (n_kv, W)
+    n_g = n_kv // W   # kv GRID extent (each step streams W blocks)
     with_vscale = cfg.quantized and cfg.pv_dtype in ("int8", "fp8")
 
     Hm = attn_mask.shape[1] if cfg.masked != "none" else 0
-    (q_spec, k_spec, v_spec, qs_spec, ks_spec, vs_spec, o_spec, lse_spec,
+    (q_spec, k_specs, v_specs, qs_spec, ks_specs, vs_spec, o_spec, lse_spec,
      qseg_spec, kseg_spec) = _specs(cfg, B, Hq, Hk, Sq, Sk, D, with_vscale,
                                     cfg.segmented, Hm)
 
@@ -847,8 +905,8 @@ def attention_call(
         assert kv_true_dyn is not None, "kv_len_dynamic needs kv_true_dyn"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(kv_true_dyn, jnp.int32).reshape(1))
-    in_specs += [q_spec, k_spec, v_spec]
-    inputs += [q, k, v]
+    in_specs += [q_spec] + k_specs + v_specs
+    inputs += [q] + [k] * W + [v] * W
     if cfg.quantized:
         if cfg.fuse_q_quant:
             if cfg.fold_k_scale:
@@ -861,8 +919,8 @@ def attention_call(
             in_specs.append(qs_spec)
             inputs.append(q_scale.astype(jnp.float32))
         if not cfg.fold_k_scale:
-            in_specs.append(ks_spec)
-            inputs.append(k_scale.astype(jnp.float32))
+            in_specs += ks_specs
+            inputs += [k_scale.astype(jnp.float32)] * W
         if with_vscale:
             in_specs.append(vs_spec)
             inputs.append(v_scale.astype(jnp.float32))
@@ -908,7 +966,7 @@ def attention_call(
         out_specs += (pl.BlockSpec((1, 1, 8, LANES),
                                    lambda b, h, i, j, *_: (b, h, i, 0)),)
 
-    kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_kv,
+    kernel = functools.partial(_attn_kernel, cfg=cfg, n_kv=n_g,
                                mask_heads=Hm)
     flops = 4 * B * Hq * Sq * Sk * D // (2 if cfg.causal else 1)
     dq_compute = cfg.quantized and cfg.compute_dtype == "bf16"
@@ -937,7 +995,7 @@ def attention_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=len(prefetch_inputs),
-                grid=(B, Hq, n_q, n_kv),
+                grid=(B, Hq, n_q, n_g),
                 in_specs=in_specs,
                 out_specs=out_specs,
                 scratch_shapes=scratch_shapes,
@@ -950,7 +1008,7 @@ def attention_call(
     else:
         res = pl.pallas_call(
             kernel,
-            grid=(B, Hq, n_q, n_kv),
+            grid=(B, Hq, n_q, n_g),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shapes,

@@ -54,15 +54,11 @@ def _paged_kernel(
     #               (identity for plain decode; window/sink streams reorder)
     lo_ref,       # [B] int32: window lower bound position (0 = none)
     q_ref,        # (1, 1, TQ, D) bf16 — sm_scale*log2e folded by the host
-    k_ref,        # (1, 1, page, D) int8 codes (centered)
-    ks_ref,       # (1, 1, 1, page) f32 per-token scales
-    v_ref,        # (1, 1, page, D) int8 codes or bf16 (centered)
-    vs_ref,       # (1, 1, 1, D) f32 per-channel (int8 V; ones for bf16)
-    vm_ref,       # (1, 1, 1, D) f32 per-channel mean
-    o_ref,        # (1, 1, TQ, D) bf16
-    m_scr, l_scr, acc_scr,
-    *,
-    n_pages: int,
+    *rest,        # ways x k (1,1,page,D) int8, ways x ks (1,1,1,page) f32,
+    #               ways x v (1,1,page,D) int8|bf16, then vs, vm, o_ref and
+    #               the m/l/acc scratch — parsed below (kv_split-style
+    #               multi-stream DMA, `attention.AttnConfig.kv_split`)
+    n_pages: int,   # kv GRID extent (total page slots = n_pages * ways)
     page: int,
     window: int,   # T: rows are a causal window of T fresh tokens (1 = none)
     sliding: bool,  # window lower-bound masking active (lo_ref is live)
@@ -70,7 +66,13 @@ def _paged_kernel(
     #                 stay visible; grid steps jp < ceil(sinks/page) stream
     #                 the sink pages, the rest stream the window (disjoint
     #                 by construction: the wrapper raises lo to >= sinks)
+    ways: int,      # concurrent page streams per grid step (probe_dma_rate:
+    #                 operand streams are element-rate bound but overlap)
 ):
+    k_refs = rest[0:ways]
+    ks_refs = rest[ways:2 * ways]
+    v_refs = rest[2 * ways:3 * ways]
+    vs_ref, vm_ref, o_ref, m_scr, l_scr, acc_scr = rest[3 * ways:]
     b = pl.program_id(0)
     jp = pl.program_id(2)
     seq_len = len_ref[b]
@@ -82,22 +84,59 @@ def _paged_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    tok0 = lpage_ref[b, jp] * page
-    run = tok0 < seq_len
+    # Group liveness: ways fetch ASCENDING page slots, so for the plain
+    # stream the group is live iff its first slot is (later slots are
+    # masked per column); sliding/sink streams OR the per-way conditions.
+    tok0s = [lpage_ref[b, jp * ways + w] * page for w in range(ways)]
+    run = tok0s[0] < seq_len
     if sliding:
-        in_band = tok0 + page > lo_ref[b]
+        run = tok0s[0] < seq_len
+        grp = jnp.logical_and(tok0s[0] < seq_len,
+                              tok0s[0] + page > lo_ref[b])
         if sinks:
-            in_band = jnp.logical_or(in_band, jp < sink_pages)
-        run = jnp.logical_and(run, in_band)
+            grp = jnp.logical_or(grp, jp * ways < sink_pages)
+        for w in range(1, ways):
+            live = jnp.logical_and(tok0s[w] < seq_len,
+                                   tok0s[w] + page > lo_ref[b])
+            if sinks:
+                live = jnp.logical_or(live, jp * ways + w < sink_pages)
+            grp = jnp.logical_or(grp, live)
+        run = grp
 
     @pl.when(run)
     def _body():
+        # PACKED body: the ways' page tiles fuse into one (TQ, ways*page)
+        # logit tile so the mask/softmax chain runs once at 4x the width —
+        # per-op overhead on (32, 256) tiles was the paged kernel's real
+        # bound (probe_decode_split.py: the dense kernel's same fix), not
+        # DMA.  Dead ways inside a boundary group are masked per column
+        # (cols >= seq_len), exactly like a partially-filled page.
         q = q_ref[0, 0]                                   # (TQ, D) bf16
-        k = k_ref[0, 0].astype(jnp.bfloat16)              # codes exact
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (TQ, page)
-        s = s * ks_ref[0, 0]                              # (1, page) lanes
+        s_parts, col_parts, keep_parts = [], [], []
+        for w in range(ways):
+            k = k_refs[w][0, 0].astype(jnp.bfloat16)      # codes exact
+            sw = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (TQ, page)
+            sw = sw * ks_refs[w][0, 0]                    # (1, page) lanes
+            s_parts.append(sw)
+            cw = (jax.lax.broadcasted_iota(jnp.int32, sw.shape, 1)
+                  + tok0s[w])
+            col_parts.append(cw)
+            if sliding and sinks:
+                # sink slots keep [0, sinks); window slots keep [lo, len) —
+                # the wrapper guarantees lo >= sinks, so no token is
+                # softmax-counted twice even when the regions touch.
+                # Boolean algebra, not jnp.where: Mosaic can't legalize
+                # arith.select on i1 vectors (measured r4, probe_serving).
+                is_sink_page = jp * ways + w < sink_pages
+                keep_parts.append(jnp.logical_or(
+                    jnp.logical_and(is_sink_page, cw < sinks),
+                    jnp.logical_and(jnp.logical_not(is_sink_page),
+                                    cw >= lo_ref[b])))
+        s = s_parts[0] if ways == 1 else jnp.concatenate(s_parts, axis=1)
+        cols = (col_parts[0] if ways == 1
+                else jnp.concatenate(col_parts, axis=1))
         # base-2 logits from here (log2e folded into q by the host)
 
         if window > 1:
@@ -105,27 +144,16 @@ def _paged_kernel(
             # (the causal compare subsumes the tail mask: cols <= seq_len-1);
             # pad rows (r >= window) compute garbage the host slices off.
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + tok0
             s = jnp.where(cols <= rows + (seq_len - window), s, MASK_NEG)
         else:
-            # tail mask; pages entirely inside (tok0 + page <= seq_len) keep
-            # the predicate all-true and the select folds to a no-op cheaply
-            # relative to the page-wide dot (decode is DMA-bound anyway).
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + tok0
+            # tail mask; pages entirely inside keep the predicate all-true
+            # and the select folds to a no-op cheaply relative to the
+            # group-wide dot.
             keep = cols < seq_len
             if sliding and sinks:
-                # sink slots keep [0, sinks); window slots keep [lo, len) —
-                # the wrapper guarantees lo >= sinks, so no token is
-                # softmax-counted twice even when the regions touch.
-                # Boolean algebra, not jnp.where: Mosaic can't legalize
-                # arith.select on i1 vectors (measured r4, probe_serving).
-                is_sink_page = jp < sink_pages
                 keep = jnp.logical_and(
-                    keep,
-                    jnp.logical_or(
-                        jnp.logical_and(is_sink_page, cols < sinks),
-                        jnp.logical_and(jnp.logical_not(is_sink_page),
-                                        cols >= lo_ref[b])))
+                    keep, (keep_parts[0] if ways == 1
+                           else jnp.concatenate(keep_parts, axis=1)))
             elif sliding:
                 keep = jnp.logical_and(keep, cols >= lo_ref[b])
             s = jnp.where(keep, s, MASK_NEG)
@@ -136,15 +164,19 @@ def _paged_kernel(
         alpha = jnp.exp2(m_prev - m_next)
         p = jnp.exp2(s - _bcast(m_next, s.shape[1]))
         l_cur = jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0]
-        if v.dtype != jnp.bfloat16:
-            # int8 codes are exact in bf16 (8 mantissa bits >= |code| <= 127)
-            # and so is fp8 e4m3 (3 mantissa bits < bf16's 7): storage-rate
-            # win either way, scale applied in the epilogue
-            v = v.astype(jnp.bfloat16)
-        pv = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        pv = None
+        for w in range(ways):
+            v = v_refs[w][0, 0]
+            if v.dtype != jnp.bfloat16:
+                # int8 codes are exact in bf16 (8 mantissa bits >= |code| <=
+                # 127) and so is fp8 e4m3 (3 mantissa bits < bf16's 7):
+                # storage-rate win either way, scale applied in the epilogue
+                v = v.astype(jnp.bfloat16)
+            pw = p[:, w * page:(w + 1) * page]            # static slice
+            pvw = jax.lax.dot_general(
+                pw.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pv = pvw if pv is None else pv + pvw
         m_scr[...] = m_next
         l_scr[...] = alpha * l_scr[...] + l_cur
         acc_scr[...] = acc_scr[...] * _bcast(alpha, acc_scr.shape[-1]) + pv
@@ -173,6 +205,9 @@ def paged_decode_call(
     lpage=None,       # [B, max_pages] int32 logical page per grid step
     win_lo=None,      # [B] int32 sliding-window lower bound position
     sinks: int = 0,   # StreamingLLM sink tokens (sliding mode only)
+    ways: int = 1,    # concurrent page streams per grid step (must divide
+    #                   n_pages; wrapper rounds the bucket up) — the paged
+    #                   counterpart of AttnConfig.kv_split
     interpret: bool = False,
 ):
     """Launch the paged decode kernel.  ``Hg`` is the grid's head count:
@@ -184,6 +219,7 @@ def paged_decode_call(
     assert Hg % Hk == 0
     G = Hg // Hk
     assert n_pages <= table_eff.shape[1], (n_pages, table_eff.shape)
+    assert n_pages % ways == 0, (n_pages, ways)
     sliding = win_lo is not None
     if lpage is None:
         lpage = jnp.broadcast_to(jnp.arange(table_eff.shape[1],
@@ -192,23 +228,26 @@ def paged_decode_call(
     if win_lo is None:
         win_lo = jnp.zeros((B,), jnp.int32)
 
-    def kv_im(b, h, jp, table, *_):
-        return (table[b, jp], h // G, 0, 0)
+    def _mk_way(w):
+        # way w of grid step jp fetches page slot ways*jp + w: the same
+        # pool passed `ways` times becomes `ways` independent DMA channels
+        def kv_im(b, h, jp, table, *_):
+            return (table[b, ways * jp + w], h // G, 0, 0)
+        return kv_im
 
-    def ks_im(b, h, jp, table, *_):
-        return (table[b, jp], h // G, 0, 0)
-
-    grid = (B, Hg, n_pages)
-    in_specs = [
-        pl.BlockSpec((1, 1, TQ, D), lambda b, h, jp, *_: (b, h, 0, 0)),
-        pl.BlockSpec((1, 1, page, D), kv_im),
-        pl.BlockSpec((1, 1, 1, page), ks_im),
-        pl.BlockSpec((1, 1, page, D), kv_im),
-        pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0)),
-        pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0)),
-    ]
-    kernel = functools.partial(_paged_kernel, n_pages=n_pages, page=page,
-                               window=window, sliding=sliding, sinks=sinks)
+    way_ims = [_mk_way(w) for w in range(ways)]
+    grid = (B, Hg, n_pages // ways)
+    in_specs = (
+        [pl.BlockSpec((1, 1, TQ, D), lambda b, h, jp, *_: (b, h, 0, 0))]
+        + [pl.BlockSpec((1, 1, page, D), im) for im in way_ims]
+        + [pl.BlockSpec((1, 1, 1, page), im) for im in way_ims]
+        + [pl.BlockSpec((1, 1, page, D), im) for im in way_ims]
+        + [pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0)),
+           pl.BlockSpec((1, 1, 1, D), lambda b, h, jp, *_: (0, h // G, 0, 0))]
+    )
+    kernel = functools.partial(_paged_kernel, n_pages=n_pages // ways,
+                               page=page, window=window, sliding=sliding,
+                               sinks=sinks, ways=ways)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -231,4 +270,5 @@ def paged_decode_call(
         interpret=interpret,
     )(table_eff.astype(jnp.int32), lengths.astype(jnp.int32),
       lpage.astype(jnp.int32), win_lo.astype(jnp.int32),
-      q, k8_pool, ks_pool, v_pool, v_scale, v_mean)
+      q, *([k8_pool] * ways), *([ks_pool] * ways), *([v_pool] * ways),
+      v_scale, v_mean)

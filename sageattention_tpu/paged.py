@@ -30,6 +30,7 @@ Typical flow::
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence
 
 import jax
@@ -261,12 +262,20 @@ def paged_insert(
     length,
     pages: Sequence[int],
     *,
+    start_page: int = 0,
     tensor_layout: str = "HND",
 ) -> PagedKVCache:
     """Admit a new sequence into batch ``slot`` of an existing pool
     (continuous batching: a finished sequence released its pages, a new
     request reuses the slot).  ``k``/``v``: [Hk, S_pad, D] page-aligned;
     ``pages``: the physical pages reserved for it (host-side list).
+
+    ``start_page``: prefix caching (`serving.PrefixCachingAllocator`) —
+    the first ``start_page`` entries of ``pages`` already hold this
+    prompt's prefix (quantized by an earlier request; pool-global stats
+    make shared pages exact for every reader), and ``k``/``v`` cover only
+    the SUFFIX tokens from position ``start_page * page_size``.  Only the
+    fresh pages are written; the table row points at all of them.
 
     Quantizes with the POOL's fixed stats — the pool's centering never
     changes after creation, which is what keeps every other sequence's
@@ -284,8 +293,9 @@ def paged_insert(
     if S % page:
         raise ValueError(f"insert length {S} must be page-aligned ({page})")
     n = S // page
-    if n > len(pages):
-        raise ValueError(f"{n} pages of data but only {len(pages)} reserved")
+    if start_page + n > len(pages):
+        raise ValueError(f"{start_page}+{n} pages of data but only "
+                         f"{len(pages)} reserved")
     if len(pages) > cache.page_table.shape[1]:
         raise ValueError(f"{len(pages)} pages > table width "
                          f"{cache.page_table.shape[1]}")
@@ -299,7 +309,7 @@ def paged_insert(
     else:
         vq = _quant_v(vc, 0.0, cache.v_scale[0], cache.v_pool.dtype)
 
-    phys = jnp.asarray(list(pages[:n]), jnp.int32)
+    phys = jnp.asarray(list(pages[start_page:start_page + n]), jnp.int32)
     k_pages = jnp.moveaxis(k8.reshape(Hk, n, page, D), 1, 0)
     v_pages = jnp.moveaxis(vq.reshape(Hk, n, page, D), 1, 0)
     ks_pages = jnp.moveaxis(
@@ -495,6 +505,22 @@ def sageattn_decode_paged(
                          max_pages - 1)
     table_eff = jnp.take_along_axis(cache.page_table, slot_c, axis=1)
 
+    # Multi-stream page DMA (probe_dma_rate: each Pallas operand stream is
+    # element-rate bound, streams overlap): fetch `ways` pages per grid
+    # step as separate operands.  Plain decode only — the sliding-window
+    # stream is already O(window) short.  The bucket rounds UP to a ways
+    # multiple (extra slots are dead: table_eff clamps them to the last
+    # live page and tok0 >= seq_len skips their compute).
+    ways = 1
+    if not sliding_window:
+        want = int(os.environ.get("SAGE_PAGED_SPLIT", "2"))
+        while want > 1:
+            rounded = -(-n_pages // want) * want
+            if rounded <= max_pages and rounded // want >= 1:
+                n_pages, ways = rounded, want
+                break
+            want //= 2
+
     out = paged_decode_call(
         qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
         cache.v_scale, cache.v_mean,
@@ -502,6 +528,7 @@ def sageattn_decode_paged(
         n_pages=n_pages,
         window=T if (is_causal and T > 1) else 1,
         lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
+        ways=ways,
         interpret=interpret,
     )
     out = out[:, :, :rows]

@@ -204,6 +204,45 @@ class TestBuckets:
             sageattn_decode(q, cache, bucket=512, interpret=True)
 
 
+class TestSplitStreams:
+    """kv_split: the cache streams as 2 concurrent K/V operand pairs
+    whenever the bucket holds >= 2 even KV blocks (probe_dma_rate: Pallas
+    operand streams are element-rate bound but overlap ~linearly).  Ways
+    run in ascending block order within a grid step, so the online-softmax
+    accumulation order is IDENTICAL to the single-stream kernel."""
+
+    def test_split_matches_unsplit_t1(self, monkeypatch):
+        q, k, v = _mk(B=2, Hq=4, Hk=2, S=900, T=1, seed=21)
+        cache = kv_cache_init(k, v, max_len=1024)
+        # bucket 1024, block_k 256 -> n_kv = 4: split=2 engages
+        monkeypatch.setenv("SAGE_DECODE_SPLIT", "2")
+        out2 = sageattn_decode(q, cache, bucket=1024, block_k=256,
+                               interpret=True)
+        monkeypatch.setenv("SAGE_DECODE_SPLIT", "0")
+        out1 = sageattn_decode(q, cache, bucket=1024, block_k=256,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(out1))
+        assert calc_diff(out2, _oracle_decode(q, k, v, 1)) < BAR
+
+    def test_split_verify_window(self, monkeypatch):
+        # T>1 causal verify window (folded GQA rows) across split streams
+        q, k, v = _mk(B=1, Hq=8, Hk=2, S=700, T=4, seed=22)
+        cache = kv_cache_init(k, v, max_len=1024)
+        monkeypatch.setenv("SAGE_DECODE_SPLIT", "2")
+        out = sageattn_decode(q, cache, bucket=1024, block_k=256,
+                              is_causal=True, interpret=True)
+        assert calc_diff(out, _oracle_decode(q, k, v, 4)) < BAR
+
+    def test_split_odd_blocks_falls_back(self, monkeypatch):
+        # 3 KV blocks: not divisible by 2 -> single-stream path, still exact
+        q, k, v = _mk(B=1, Hq=2, S=700, T=1, seed=23)
+        cache = kv_cache_init(k, v, max_len=768)
+        monkeypatch.setenv("SAGE_DECODE_SPLIT", "2")
+        out = sageattn_decode(q, cache, bucket=768, block_k=256,
+                              interpret=True)
+        assert calc_diff(out, _oracle_decode(q, k, v, 1)) < BAR
+
+
 class TestValidation:
     def test_head_mismatch(self):
         q, k, v = _mk(Hq=3, S=128)

@@ -18,6 +18,11 @@ setup(
             sources=["csrc/varlen_pack.cpp"],
             include_dirs=[numpy.get_include()],
             extra_compile_args=["-O3", "-std=c++17"],
-        )
+        ),
+        Extension(
+            "_sageattn_serving",
+            sources=["csrc/serving_runtime.cpp"],
+            extra_compile_args=["-O3", "-std=c++17"],
+        ),
     ],
 )

@@ -153,6 +153,7 @@ def run_headline(S=8192, D=128, B=4, H=32):
                                quantized=True, compute_dtype=compute,
                                softmax_mode=softmax)
     _, tf_e2e = bench_e2e(B, H, S, D)
+    dec = bench_decode()
     return {
         "metric": (f"sageattn qk-int8 pv-{pv} compute-{compute} "
                    f"softmax-{softmax} TFLOPS "
@@ -168,8 +169,42 @@ def run_headline(S=8192, D=128, B=4, H=32):
         "causal_vs_our_flash": round(t_oc / t_qc, 3),
         "causal_our_flash_tflops": round(tf_oc, 1),
         "e2e_tflops_quant_included": round(tf_e2e, 1),
+        "decode_16k_us": dec["int8_us"],
+        "decode_16k_vs_xla_bf16": dec["vs_xla"],
         "device": caps.generation,
     }
+
+
+def bench_decode(L=16384, B=8, Hq=32, Hk=8, D=128, reps=50):
+    """Serving headline: one int8-KV-cache decode step (GQA fold, whole-tile
+    dots, kv_split multi-stream DMA) vs the stock-JAX bf16-cache decode —
+    the serving analogue of the prefill headline.  Wall scope (queued host
+    calls, one sync); the full table lives in benchsuite/probe_decode.py."""
+    import numpy as np
+
+    from .decode import kv_cache_init, sageattn_decode
+
+    r = jax.random.split(jax.random.PRNGKey(0), 3)
+    k = jax.random.normal(r[0], (B, Hk, L, D), jnp.bfloat16)
+    v = jax.random.normal(r[1], (B, Hk, L, D), jnp.bfloat16)
+    q = jax.random.normal(r[2], (B, Hq, 1, D), jnp.bfloat16)
+    cache = kv_cache_init(k, v, max_len=L)
+
+    def xla_decode(q, k, v):
+        G = q.shape[1] // k.shape[1]
+        kk = jnp.repeat(k, G, axis=1)
+        vv = jnp.repeat(v, G, axis=1)
+        s = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32),
+                       kk.astype(jnp.float32)) * (1.0 / np.sqrt(D))
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhts,bhsd->bhtd", p, vv.astype(jnp.float32)
+                          ).astype(jnp.bfloat16)
+
+    fn = jax.jit(lambda q, c: sageattn_decode(q, c, bucket=L))
+    t_int8 = time_fn(fn, q, cache, reps=reps)
+    t_xla = time_fn(jax.jit(xla_decode), q, k, v, reps=reps)
+    return {"int8_us": round(t_int8 * 1e6, 1),
+            "vs_xla": round(t_xla / t_int8, 2)}
 
 
 def run_sweep(seqs=(1024, 2048, 4096, 8192, 16384, 32768), D=128, B=4, H=32,

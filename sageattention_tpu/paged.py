@@ -513,10 +513,15 @@ def sageattn_decode_paged(
     # live page and tok0 >= seq_len skips their compute).
     ways = 1
     if not sliding_window:
-        want = int(os.environ.get("SAGE_PAGED_SPLIT", "2"))
+        # measured sweep @16K/@128K scan us: 1=2059/2225, 4=1098/1236,
+        # 8=933/1095, 16=872/1013, 32=850/989 — 16 is the knee; beyond it
+        # the gain is ~2.5% while dead-page streaming at short contexts
+        # grows (the `want <= n_pages` guard bounds that waste: dead ways
+        # clamp to the last live page but still stream it once per step).
+        want = int(os.environ.get("SAGE_PAGED_SPLIT", "16"))
         while want > 1:
             rounded = -(-n_pages // want) * want
-            if rounded <= max_pages and rounded // want >= 1:
+            if want <= n_pages and rounded <= max_pages:
                 n_pages, ways = rounded, want
                 break
             want //= 2

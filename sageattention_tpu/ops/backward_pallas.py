@@ -385,9 +385,14 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((1, 1, BK, D), lambda b, h, j, i: (b, h, j, 0)),
         ),
+        # outputs land in the CALLER dtype directly: the kernels accumulate
+        # in f32 scratch and cast once in their final write, so an f32
+        # out_shape would only add a separate XLA convert kernel + 2x the
+        # HBM write traffic (measured ~4 ms of the 9.6 ms causal gap to the
+        # probe_bwd_anatomy skeleton at 8K)
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, Skp, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hq, Skp, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Skp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Skp, D), v.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((BK, D), jnp.float32),
                         pltpu.VMEM((BK, D), jnp.float32)],
@@ -414,7 +419,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
         ] + scale_specs("ij") + ([mask_spec("ij")] if masked else []),
         out_specs=pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -423,10 +428,12 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     )(qb, kb, vb, dob, lse2, di,
       *(scale_in + [ks_rows] if quantized else []), *mask_in)
 
-    dq = dq[:, :, :Sq].astype(q.dtype)
+    dq = dq[:, :, :Sq]
     dk = dk[:, :, :Sk]
     dv = dv[:, :, :Sk]
     if G > 1:
-        dk = dk.reshape(B, Hk, G, Sk, D).sum(axis=2)
-        dv = dv.reshape(B, Hk, G, Sk, D).sum(axis=2)
+        # f32 accumulation over the GQA group; the per-head slices are
+        # already caller-dtype (their own bf16 dots dominate the rounding)
+        dk = dk.reshape(B, Hk, G, Sk, D).sum(axis=2, dtype=jnp.float32)
+        dv = dv.reshape(B, Hk, G, Sk, D).sum(axis=2, dtype=jnp.float32)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)

@@ -253,6 +253,12 @@ def _attn_kernel(
     minfo_ref = next(it) if cfg.masked == "bool" else None
     table_ref = next(it) if cfg.masked == "bool" else None
     del table_ref  # consumed by the index maps only
+    # per-segment sinks: (B, n_kv_blocks) table — does block j hold any
+    # within-segment sink token?  Scalar-prefetched so tile liveness and
+    # the below-window DMA clamp read the SAME signal (the streamed
+    # kv_segpos block can't serve liveness once dead blocks are remapped
+    # to a resident buffer — it would show the redirected block's data).
+    sinkblk_ref = next(it) if (cfg.segmented and cfg.sinks) else None
     offs_ref = next(it) if (cfg.causal and cfg.causal_dynamic) else None
     kvt_ref = next(it) if cfg.kv_len_dynamic else None
     W = max(cfg.kv_split, 1)
@@ -387,9 +393,13 @@ def _attn_kernel(
                 if cfg.sinks and cfg.segmented:
                     # per-SEGMENT sinks: the tile is live iff some kv token
                     # sits in the first `sinks` positions of its own segment
-                    # (dynamic — pads carry a huge segpos so they never match)
+                    # (dynamic — pads carry a huge segpos so they never
+                    # match).  Read from the prefetched per-block table, NOT
+                    # the streamed kv_segpos tile: below-window dead blocks
+                    # are DMA-remapped to a resident buffer (r4), so their
+                    # streamed data is another block's.
                     in_band = jnp.logical_or(
-                        in_band, jnp.min(kv_segpos_ref[0]) < cfg.sinks)
+                        in_band, sinkblk_ref[pl.program_id(0), jj] != 0)
                 elif cfg.sinks:
                     in_band = jnp.logical_or(in_band, jj * BK < cfg.sinks)
                 run = jnp.logical_and(run, in_band)
@@ -688,12 +698,31 @@ def _specs(cfg: AttnConfig, B, Hq, Hk, Sq, Sk, D, with_vscale, segmented,
 
         def ks_im(b, h, i, j, minfo, table):
             return (b, h // G, 0, kv_idx(b, h, i, j, minfo, table))
+    elif cfg.window and cfg.sinks and segmented:
+        # per-SEGMENT sinks: sink-holding blocks are DYNAMIC (each packed
+        # sequence's own first tokens), so the below-window clamp reads a
+        # scalar-prefetched (B, n_kv) table — sink blocks pass through
+        # (bounded by the diagonal), everything else takes the band clamp.
+        # Restores the O(S*(window+sinks)) DMA bound the static clamp
+        # gives dense sinks (r4; was: clamp disabled, O(S^2/2) streaming).
+        def _j_sink(b, i, j, sinkblk):
+            hi = ((i + 1) * BQ - 1) // BK
+            lo = jnp.maximum(i * BQ - cfg.window + 1, 0) // BK
+            clamped = jnp.minimum(jnp.maximum(j, lo), hi)
+            return jnp.where(sinkblk[b, j] != 0,
+                             jnp.minimum(j, hi), clamped)
+
+        def kv_im(b, h, i, j, sinkblk):
+            return (b, h // G, _j_sink(b, i, j, sinkblk), 0)
+
+        def ks_im(b, h, i, j, sinkblk):
+            return (b, h // G, 0, _j_sink(b, i, j, sinkblk))
     else:
         if cfg.causal and not cfg.causal_dynamic:
             # static diagonal: clamp the kv block index so above-diagonal
             # (and, with a sliding window, below-window) grid steps re-use
             # the resident block (no DMA)
-            if cfg.window and not (cfg.sinks and cfg.segmented):
+            if cfg.window:
                 def _j(i, j):
                     hi = ((i + 1) * BQ - 1) // BK
                     lo = jnp.maximum(i * BQ - cfg.window + 1, 0) // BK
@@ -897,6 +926,15 @@ def attention_call(
             table = jnp.minimum(table, (cfg.kv_len - 1) // BK)
         prefetch_inputs = [minfo.astype(jnp.int32),
                            table.astype(jnp.int32)]
+    if cfg.segmented and cfg.sinks:
+        # (B, n_kv) per-block sink liveness: block j holds a within-segment
+        # sink token iff the min position-in-segment over its BK tokens is
+        # < sinks (pads carry a huge segpos).  Feeds both the kernel's tile
+        # liveness and the below-window DMA clamp (_specs) — mutually
+        # exclusive with the bool-mask tables (window forbids attn_mask).
+        sinkblk = (jnp.min(kv_segpos.reshape(B, n_kv, BK), axis=-1)
+                   < cfg.sinks)
+        prefetch_inputs.append(sinkblk.astype(jnp.int32))
     if cfg.causal and cfg.causal_dynamic:
         assert offsets is not None, "causal_dynamic needs (q_start, kv_start)"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))

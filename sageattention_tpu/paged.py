@@ -513,12 +513,18 @@ def sageattn_decode_paged(
     # live page and tok0 >= seq_len skips their compute).
     ways = 1
     if not sliding_window:
-        # measured sweep @16K/@128K scan us: 1=2059/2225, 4=1098/1236,
-        # 8=933/1095, 16=872/1013, 32=850/989 — 16 is the knee; beyond it
-        # the gain is ~2.5% while dead-page streaming at short contexts
-        # grows (the `want <= n_pages` guard bounds that waste: dead ways
-        # clamp to the last live page but still stream it once per step).
-        want = int(os.environ.get("SAGE_PAGED_SPLIT", "16"))
+        # measured sweep @16K/@128K scan us (page=256): 1=2059/2225,
+        # 4=1098/1236, 8=933/1095, 16=872/1013, 32=850/989 — 16 is the
+        # knee; beyond it the gain is ~2.5% while dead-page streaming at
+        # short contexts grows (the `want <= n_pages` guard bounds that
+        # waste: dead ways clamp to the last live page but still stream
+        # it once per step).  The knee is really a PACKED-WIDTH knee
+        # (ways*page ~ 4096): a page-size sweep holding ways*page = 4096
+        # (probe_page_size.py) runs page=512 at 1.09-1.12x dense and
+        # page=1024 at 0.92-0.99x (= dense parity), so the default
+        # scales ways down as pages grow rather than widening the tile.
+        want = int(os.environ.get("SAGE_PAGED_SPLIT", "0")) or \
+            max(1, 4096 // page)
         while want > 1:
             rounded = -(-n_pages // want) * want
             if want <= n_pages and rounded <= max_pages:

@@ -393,3 +393,40 @@ class TestAllocator:
         with pytest.raises(ValueError):
             sageattn_decode_paged(jnp.zeros((B, H, 64, D)), cache,
                                   interpret=True)  # window > TQ
+
+
+class TestPageSizes:
+    """Non-default page sizes (512/1024) with the adaptive ways default.
+
+    probe_page_size.py measured page=1024 at dense-cache parity on v5e
+    (the page-granular DMA is the whole paged-vs-dense residual), so big
+    pages are a supported serving configuration, not just a probe: the
+    ways default scales down as pages grow (ways*page ~ 4096)."""
+
+    @pytest.mark.parametrize("page", [512, 1024])
+    def test_ragged_vs_oracle(self, page, monkeypatch):
+        monkeypatch.delenv("SAGE_PAGED_SPLIT", raising=False)
+        B, Hq, Hk, D = 2, 4, 2, 64
+        lengths = [page + 77, 2 * page + 1]
+        s_pad = -(-max(lengths) // page) * page
+        k, v, _ = _mk_ragged(B, Hk, lengths, D, seed=21, s_pad=s_pad)
+        per_seq = s_pad // page
+        alloc = PageAllocator(B * per_seq, page)
+        rng = np.random.RandomState(7)
+        rows = []
+        for _ in range(B):
+            r = alloc.reserve(per_seq)
+            rng.shuffle(r)
+            rows.append(r)
+        table = build_table(rows, max_pages=per_seq)
+        cache = paged_prefill(k, v, jnp.asarray(lengths), table,
+                              num_pages=B * per_seq, page_size=page)
+        assert cache.page_size == page
+        q = jax.random.normal(jax.random.PRNGKey(22), (B, Hq, 1, D),
+                              jnp.float32)
+        out = sageattn_decode_paged(q, cache,
+                                    pages_bucket=pages_bucket_for(cache),
+                                    interpret=True)
+        for b in range(B):
+            ref = _oracle(q[b], k[b], v[b], lengths[b])
+            assert calc_diff(out[b], ref) < BAR, (page, b)

@@ -395,6 +395,36 @@ def pages_bucket_for(cache_or_lengths, page_size: int = _PAGE_DEFAULT) -> int:
     return int(-(-int(lengths.max()) // page_size))
 
 
+def _select_ways(page: int, n_pages: int, max_pages: int):
+    """Pick the multi-stream DMA width (`ways`) and the ways-rounded page
+    budget for plain paged decode.
+
+    Measured sweep @16K/@128K scan us (page=256): 1=2059/2225, 4=1098/1236,
+    8=933/1095, 16=872/1013, 32=850/989 — 16 is the knee; beyond it the
+    gain is ~2.5% while dead-page streaming at short contexts grows (the
+    `want <= n_pages` guard bounds that waste: dead ways clamp to the last
+    live page but still stream it once per step).  The knee is really a
+    PACKED-WIDTH knee (ways*page ~ 4096): a page-size sweep holding
+    ways*page = 4096 (probe_page_size.py) runs page=512 at 1.09-1.12x dense
+    and page=1024 at 0.92-0.99x (= dense parity), so the default scales
+    ways down as pages grow rather than widening the tile.
+
+    SAGE_PAGED_SPLIT: explicitly set wins ("0" and "1" both force a single
+    stream); unset selects the adaptive default.  The adaptive value is
+    capped at the measured knee (16): the kernel unrolls a Python loop over
+    ways, so tiny pages (e.g. 64) must not explode into 64-way unrolled
+    programs for ~0 measured gain.
+    """
+    env = os.environ.get("SAGE_PAGED_SPLIT")
+    want = max(1, int(env)) if env else min(16, max(1, 4096 // page))
+    while want > 1:
+        rounded = -(-n_pages // want) * want
+        if want <= n_pages and rounded <= max_pages:
+            return rounded, want
+        want //= 2
+    return n_pages, 1
+
+
 def sageattn_decode_paged(
     q,
     cache: PagedKVCache,
@@ -513,24 +543,7 @@ def sageattn_decode_paged(
     # live page and tok0 >= seq_len skips their compute).
     ways = 1
     if not sliding_window:
-        # measured sweep @16K/@128K scan us (page=256): 1=2059/2225,
-        # 4=1098/1236, 8=933/1095, 16=872/1013, 32=850/989 — 16 is the
-        # knee; beyond it the gain is ~2.5% while dead-page streaming at
-        # short contexts grows (the `want <= n_pages` guard bounds that
-        # waste: dead ways clamp to the last live page but still stream
-        # it once per step).  The knee is really a PACKED-WIDTH knee
-        # (ways*page ~ 4096): a page-size sweep holding ways*page = 4096
-        # (probe_page_size.py) runs page=512 at 1.09-1.12x dense and
-        # page=1024 at 0.92-0.99x (= dense parity), so the default
-        # scales ways down as pages grow rather than widening the tile.
-        want = int(os.environ.get("SAGE_PAGED_SPLIT", "0")) or \
-            max(1, 4096 // page)
-        while want > 1:
-            rounded = -(-n_pages // want) * want
-            if want <= n_pages and rounded <= max_pages:
-                n_pages, ways = rounded, want
-                break
-            want //= 2
+        n_pages, ways = _select_ways(page, n_pages, max_pages)
 
     out = paged_decode_call(
         qt, cache.k8_pool, cache.ks_pool, cache.v_pool,

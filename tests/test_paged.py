@@ -14,7 +14,7 @@ import pytest
 
 from sageattention_tpu.paged import (
     PageAllocator, build_table, paged_prefill, paged_append,
-    pages_bucket_for, sageattn_decode_paged)
+    pages_bucket_for, sageattn_decode_paged, _select_ways)
 from sageattention_tpu.ops.reference import sdpa
 from sageattention_tpu.utils.testing import calc_diff
 
@@ -407,10 +407,15 @@ class TestPageSizes:
     def test_ragged_vs_oracle(self, page, monkeypatch):
         monkeypatch.delenv("SAGE_PAGED_SPLIT", raising=False)
         B, Hq, Hk, D = 2, 4, 2, 64
-        lengths = [page + 77, 2 * page + 1]
+        # span >= 8 pages and pad the table width to 16 so the adaptive
+        # multi-way default (8 ways @512 / 4 ways @1024) survives the
+        # `rounded <= max_pages` guard — this is what actually exercises
+        # the packed multi-way kernel at non-default page sizes.
+        lengths = [8 * page + 77, 2 * page + 1]
         s_pad = -(-max(lengths) // page) * page
         k, v, _ = _mk_ragged(B, Hk, lengths, D, seed=21, s_pad=s_pad)
         per_seq = s_pad // page
+        max_pages = 16
         alloc = PageAllocator(B * per_seq, page)
         rng = np.random.RandomState(7)
         rows = []
@@ -418,15 +423,35 @@ class TestPageSizes:
             r = alloc.reserve(per_seq)
             rng.shuffle(r)
             rows.append(r)
-        table = build_table(rows, max_pages=per_seq)
+        table = build_table(rows, max_pages=max_pages)
         cache = paged_prefill(k, v, jnp.asarray(lengths), table,
                               num_pages=B * per_seq, page_size=page)
         assert cache.page_size == page
+        bucket = pages_bucket_for(cache)
+        _, ways = _select_ways(page, bucket, max_pages)
+        assert ways == 4096 // page, (page, ways)  # multi-way really runs
         q = jax.random.normal(jax.random.PRNGKey(22), (B, Hq, 1, D),
                               jnp.float32)
-        out = sageattn_decode_paged(q, cache,
-                                    pages_bucket=pages_bucket_for(cache),
+        out = sageattn_decode_paged(q, cache, pages_bucket=bucket,
                                     interpret=True)
         for b in range(B):
             ref = _oracle(q[b], k[b], v[b], lengths[b])
             assert calc_diff(out[b], ref) < BAR, (page, b)
+
+    def test_select_ways_semantics(self, monkeypatch):
+        # adaptive default: packed width ~4096, capped at the 16-way knee
+        monkeypatch.delenv("SAGE_PAGED_SPLIT", raising=False)
+        assert _select_ways(256, 64, 64) == (64, 16)
+        assert _select_ways(64, 64, 64) == (64, 16)      # capped, not 64
+        assert _select_ways(1024, 16, 16) == (16, 4)
+        # guards collapse gracefully when the table is narrow
+        assert _select_ways(512, 3, 4) == (4, 2)
+        assert _select_ways(512, 3, 3) == (3, 1)
+        assert _select_ways(512, 1, 1) == (1, 1)
+        # explicit env wins; "0" and "1" both force single-stream
+        monkeypatch.setenv("SAGE_PAGED_SPLIT", "0")
+        assert _select_ways(256, 64, 64) == (64, 1)
+        monkeypatch.setenv("SAGE_PAGED_SPLIT", "1")
+        assert _select_ways(256, 64, 64) == (64, 1)
+        monkeypatch.setenv("SAGE_PAGED_SPLIT", "4")
+        assert _select_ways(256, 64, 64) == (64, 4)

@@ -446,10 +446,13 @@ def _sage_attention(
         q_scale = q_scale_prefold = k_scale = None
     elif nhd_direct:
         # NHD quant kernels return per-row scales directly ([B,H,S,1]) —
-        # no host expand pass
-        q_scale = q_s
+        # no host expand pass.  prefold == q_scale when no per-head K
+        # scale folds in (the static capmax fallback below reads it for
+        # every k_scale_mode).
+        q_scale = q_scale_prefold = q_s
     else:
-        q_scale = quant_ops.expand_scales_rows(q_s, q_group, Sq_pad)
+        q_scale = q_scale_prefold = quant_ops.expand_scales_rows(
+            q_s, q_group, Sq_pad)
     if fuse_qq:
         pass
     elif k_scale_mode == "head":

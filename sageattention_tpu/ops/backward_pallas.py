@@ -230,6 +230,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
                               attn_mask=None, quantized: bool = False,
                               window: int = 0, sinks: int = 0,
                               block_q: int = 2048, block_k: int = 2048,
+                              di=None, out_dtype=None,
                               interpret: bool = False):
     # default blocks from the r2 TPU sweep: 2048x2048 = 117 TFLOPS-eff vs
     # 92 at 512x512 (S=8192 hd128); small seqs shrink via the min() below.
@@ -247,6 +248,11 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     ``sinks``: StreamingLLM attention sinks — the first ``sinks`` key
     positions stayed visible to every row in addition to its band; their
     kv blocks stay live in both grids (requires ``window``).
+    ``di``: precomputed rowsum(dO*O) [B,Hq,Sq] f32 — lets ring attention
+    rotate (q, do, lse, di) instead of the full ``o`` (which is only read
+    for this reduction; pass ``o=None`` then).
+    ``out_dtype``: gradient dtype override (ring partials accumulate in
+    f32 across steps; default = the matching input's dtype).
     Returns (dq, dk, dv) with GQA group-sum."""
     if window:
         assert is_causal, "window requires is_causal"
@@ -263,7 +269,6 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     pad_k = (-Sk) % BK
 
     qb = jnp.pad(q.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    ob = jnp.pad(o.astype(jnp.float32), ((0, 0), (0, 0), (0, pad_q), (0, 0)))
     dob = jnp.pad(do.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad_q), (0, 0)))
     kb = jnp.pad(k.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     vb = jnp.pad(v.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, pad_k), (0, 0)))
@@ -273,7 +278,13 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
     # padded q rows: lse -> +inf makes p = exp2(s - inf) = 0 (no contribution)
     lse2 = jnp.pad(lse.astype(jnp.float32) * LOG2E,
                    ((0, 0), (0, 0), (0, pad_q)), constant_values=3e38)[..., None]
-    di = jnp.sum(dob.astype(jnp.float32) * ob, axis=-1, keepdims=True)
+    if di is None:
+        ob = jnp.pad(o.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        di = jnp.sum(dob.astype(jnp.float32) * ob, axis=-1, keepdims=True)
+    else:
+        di = jnp.pad(di.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, pad_q)))[..., None]
     Sqp, Skp = Sq + pad_q, Sk + pad_k
     n_q, n_kv = Sqp // BQ, Skp // BK
 
@@ -391,8 +402,8 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
         # HBM write traffic (measured ~4 ms of the 9.6 ms causal gap to the
         # probe_bwd_anatomy skeleton at 8K)
         out_shape=(
-            jax.ShapeDtypeStruct((B, Hq, Skp, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hq, Skp, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Skp, D), out_dtype or k.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Skp, D), out_dtype or v.dtype),
         ),
         scratch_shapes=[pltpu.VMEM((BK, D), jnp.float32),
                         pltpu.VMEM((BK, D), jnp.float32)],
@@ -419,7 +430,7 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
             pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0)),
         ] + scale_specs("ij") + ([mask_spec("ij")] if masked else []),
         out_specs=pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sqp, D), out_dtype or q.dtype),
         scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -436,4 +447,5 @@ def attention_backward_pallas(q, k, v, o, lse, do, *, sm_scale, is_causal,
         # already caller-dtype (their own bf16 dots dominate the rounding)
         dk = dk.reshape(B, Hk, G, Sk, D).sum(axis=2, dtype=jnp.float32)
         dv = dv.reshape(B, Hk, G, Sk, D).sum(axis=2, dtype=jnp.float32)
-    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    return (dq, dk.astype(out_dtype or k.dtype),
+            dv.astype(out_dtype or v.dtype))

@@ -326,6 +326,79 @@ def _ring_body(
     return o_acc
 
 
+def _ring_bwd_body(q, k, v, o, lse, do, *, axis_name, is_causal, sm_scale,
+                   quantized, interpret):
+    """Context-parallel backward: the q-side rotates, KV stays home.
+
+    Completes the reference's training story for its ring hook
+    (`/root/reference/sageattention/core.py:120-133` exposes lse for
+    external ring forwards only).  Each device keeps its (k, v) shard
+    resident and accumulates dK/dV in f32 across all q sources; the
+    rotating payload is (q, do, lse, di) — di = rowsum(dO*O) is computed
+    once up front so ``o`` itself never travels — plus an f32 dQ
+    accumulator that hops WITH its chunk and lands home after the final
+    rotation (n dQ hops, n-1 payload hops; the payload permute is issued
+    before the step's compute so it overlaps, like the forward).
+
+    Causal masking across shards is all-or-nothing at shard granularity
+    (shards are contiguous in sequence order): a q chunk from source s
+    against home kv shard j is fully visible when s > j, standard aligned
+    causal when s == j, and contributes nothing when s < j — so the
+    single-chip backward kernels are reused unchanged per pair, with a
+    3-way lax.switch instead of in-kernel offsets."""
+    from ..ops.backward_pallas import attention_backward_pallas
+
+    B, Hq, S, D = q.shape
+    Hk = k.shape[1]
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    kb = k.astype(jnp.bfloat16)
+    vb = v.astype(jnp.bfloat16)
+    dk_acc = jnp.zeros((B, Hk, S, D), jnp.float32)
+    dv_acc = jnp.zeros((B, Hk, S, D), jnp.float32)
+    dq_rot = jnp.zeros((B, Hq, S, D), jnp.float32)
+    chunk = {"q": q.astype(jnp.bfloat16), "do": do.astype(jnp.bfloat16),
+             "lse": lse.astype(jnp.float32), "di": di}
+
+    def pair(c, causal_flag):
+        return attention_backward_pallas(
+            c["q"], kb, vb, None, c["lse"], c["do"], di=c["di"],
+            sm_scale=sm_scale, is_causal=causal_flag, quantized=quantized,
+            out_dtype=jnp.float32, interpret=interpret)
+
+    def zeros():
+        return (jnp.zeros((B, Hq, S, D), jnp.float32),
+                jnp.zeros((B, Hk, S, D), jnp.float32),
+                jnp.zeros((B, Hk, S, D), jnp.float32))
+
+    for step in range(n):
+        if step != n - 1:
+            next_chunk = jax.tree_util.tree_map(
+                lambda x: jax.lax.ppermute(x, axis_name, perm), chunk)
+        if is_causal:
+            src = (idx - step) % n
+            # 0: src < idx (invisible), 1: diagonal, 2: src > idx (full)
+            case = jnp.int32(1) + jnp.sign(src - idx)
+            dq_p, dk_p, dv_p = jax.lax.switch(
+                case, [zeros,
+                       functools.partial(pair, chunk, True),
+                       functools.partial(pair, chunk, False)])
+        else:
+            dq_p, dk_p, dv_p = pair(chunk, False)
+        dk_acc += dk_p
+        dv_acc += dv_p
+        # dQ hops with its chunk every step (incl. the last -> home)
+        dq_rot = jax.lax.ppermute(dq_rot + dq_p, axis_name, perm)
+        if step != n - 1:
+            chunk = next_chunk
+
+    return (dq_rot.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype))
+
+
 def _ring_block(cap: int, seq: int) -> int:
     cand = cap
     while cand > 128:
@@ -349,6 +422,8 @@ def ring_sageattn(
     return_lse: bool = False,
     block_q: int = 0,
     block_k: int = 0,
+    differentiable: bool = False,
+    quant_backward: Optional[bool] = None,
     interpret: Optional[bool] = None,
 ):
     """Sequence-parallel quantized attention over a mesh axis.
@@ -359,6 +434,15 @@ def ring_sageattn(
     "tp" and batch over "dp" by the caller's shardings — this wrapper only
     fixes the sequence axis.  ``block_q``/``block_k`` of 0 pick tuned sizes
     for the local shard length (docs/PERF_NOTES.md sweep).
+
+    ``differentiable=True`` attaches the context-parallel backward
+    (``_ring_bwd_body``): jax.grad through the ring matches the
+    single-device custom_vjp gradients (same straight-through scheme —
+    exact-math flash backward from the saved (q, k, v, o, lse)).
+    Requires the global S to already divide n*block (the padded-stats
+    masking is forward-only) and is incompatible with ``return_lse``.
+    ``quant_backward`` as in :func:`sageattention_tpu.sageattn`
+    (None -> int8 backward kernels for non-causal).
     """
     B, Hq, S, D = q.shape
     Hk = k.shape[1]
@@ -414,17 +498,61 @@ def ring_sageattn(
         q, k, v = (jnp.pad(x, pads) for x in (q, k, v))
         D = target
 
-    body = functools.partial(
-        _ring_body, axis_name=axis_name, is_causal=is_causal, sm_scale=sm_scale,
-        qk_quant_gran=qk_quant_gran, pv_dtype=pv_dtype,
-        compute_dtype=compute_dtype, interpret=interpret,
-        block_q=block_q, block_k=block_k, block_k_inner=block_k_inner,
-        return_lse=return_lse, softmax_mode=softmax_mode,
-        s_true=S_true if S != S_true else 0)
+    def body_partial(want_lse):
+        return functools.partial(
+            _ring_body, axis_name=axis_name, is_causal=is_causal,
+            sm_scale=sm_scale, qk_quant_gran=qk_quant_gran,
+            pv_dtype=pv_dtype, compute_dtype=compute_dtype,
+            interpret=interpret, block_q=block_q, block_k=block_k,
+            block_k_inner=block_k_inner, return_lse=want_lse,
+            softmax_mode=softmax_mode, s_true=S_true if S != S_true else 0)
 
     in_spec = P(None, None, axis_name, None)
-    out_spec = (P(None, None, axis_name, None), P(None, None, axis_name)) \
-        if return_lse else P(None, None, axis_name, None)
+    o_spec = P(None, None, axis_name, None)
+    lse_spec = P(None, None, axis_name)
+
+    if differentiable:
+        if return_lse:
+            raise ValueError(
+                "differentiable ring attention does not return lse; take "
+                "gradients through the plain output")
+        if S != S_true:
+            raise ValueError(
+                f"differentiable ring attention requires the global "
+                f"sequence length ({S_true}) to divide evenly into "
+                f"block-aligned shards ({n} x {S_local}); pad the inputs "
+                f"or use ulysses_sageattn")
+        from ..core import _resolve_quant_bwd
+        quant_bwd = _resolve_quant_bwd(quant_backward, is_causal)
+        bwd_body = functools.partial(
+            _ring_bwd_body, axis_name=axis_name, is_causal=is_causal,
+            sm_scale=sm_scale, quantized=quant_bwd, interpret=interpret)
+
+        @jax.custom_vjp
+        def f(qp, kp, vp):
+            return shard_map(body_partial(False), mesh=mesh,
+                             in_specs=(in_spec,) * 3, out_specs=o_spec,
+                             check_vma=False)(qp, kp, vp)
+
+        def f_fwd(qp, kp, vp):
+            o, lse = shard_map(body_partial(True), mesh=mesh,
+                               in_specs=(in_spec,) * 3,
+                               out_specs=(o_spec, lse_spec),
+                               check_vma=False)(qp, kp, vp)
+            return o, (qp, kp, vp, o, lse)
+
+        def f_bwd(res, do):
+            grads = shard_map(bwd_body, mesh=mesh,
+                              in_specs=(in_spec,) * 4 + (lse_spec, in_spec),
+                              out_specs=(in_spec,) * 3,
+                              check_vma=False)(*res, do)
+            return grads
+
+        f.defvjp(f_fwd, f_bwd)
+        return f(q, k, v)[:, :, :, :D_og]
+
+    body = body_partial(return_lse)
+    out_spec = (o_spec, lse_spec) if return_lse else o_spec
     res = shard_map(body, mesh=mesh, in_specs=(in_spec,) * 3,
                     out_specs=out_spec, check_vma=False)(q, k, v)
     if return_lse:

@@ -145,6 +145,19 @@ class TestGranularities:
         d_thread = calc_diff(sa.sageattn_qk_int8_pv_bf16(q, k, v, qk_quant_gran="per_thread"), ref)
         assert d_thread <= d_block
 
+    def test_static_fine_k_capmax_fallback(self):
+        """r5 regression: static softmax + fine (group) K scales on the
+        jnp capmax fallback path crashed with an unbound q_scale_prefold.
+        Only large-S configs resolve compute_dtype='native' (keeping fine
+        K scales), so CI's small shapes never reached it."""
+        ks = jax.random.split(jax.random.PRNGKey(5), 3)
+        q, k, v = (jax.random.normal(kk, (1, 1, 4096, 64), jnp.bfloat16)
+                   for kk in ks)
+        out = sa.sageattn_qk_int8_pv_bf16(q, k, v,
+                                          qk_quant_gran="per_thread",
+                                          fuse_q_quant=False)
+        assert calc_diff(out, sdpa(q, k, v)) < 1e-3
+
 
 class TestApiSurface:
     def test_reference_aliases_exist(self):

@@ -123,6 +123,74 @@ class TestRingStaticSoftmax:
         assert calc_diff(out, sdpa(q, k, v)) < 1e-2
 
 
+class TestRingGrad:
+    """Context-parallel training (VERDICT r4 #3): jax.grad through
+    ring_sageattn(differentiable=True) must match the single-device
+    custom_vjp gradients — same straight-through scheme, decomposed over
+    the ring.  Causal pairs branch at shard granularity (full / diagonal /
+    invisible), so these also cover the lax.switch routing."""
+
+    def _grads(self, mesh4, q, k, v, w, causal, **kw):
+        def loss_ring(q, k, v):
+            return jnp.sum(w * ring_sageattn(
+                q, k, v, mesh4, is_causal=causal, differentiable=True, **kw))
+
+        def loss_single(q, k, v):
+            return jnp.sum(w * sa.sageattn_qk_int8_pv_bf16(
+                q, k, v, is_causal=causal))
+
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        gs = jax.grad(loss_single, argnums=(0, 1, 2))(q, k, v)
+        return gr, gs
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_single_device(self, mesh4, causal):
+        q, k, v = qkv()
+        w = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32)
+        gr, gs = self._grads(mesh4, q, k, v, w, causal, pv_dtype="bf16")
+        for a, b in zip(gr, gs):
+            assert calc_diff(a, b) < 1e-4  # cossim >= 1 - 1e-4
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_gqa(self, mesh4, causal):
+        q, k, v = qkv_gqa()
+        w = jax.random.normal(jax.random.PRNGKey(4), q.shape, jnp.float32)
+        gr, gs = self._grads(mesh4, q, k, v, w, causal, pv_dtype="bf16")
+        for a, b in zip(gr, gs):
+            assert a.shape in (q.shape, k.shape)
+            assert calc_diff(a, b) < 1e-4
+
+    def test_int8_pv_static_softmax(self, mesh4):
+        """The flagship forward config (int8 V storage, static softmax)
+        trains through the ring too."""
+        q, k, v = qkv()
+        w = jax.random.normal(jax.random.PRNGKey(5), q.shape, jnp.float32)
+
+        def loss_ring(q, k, v):
+            return jnp.sum(w * ring_sageattn(q, k, v, mesh4,
+                                             pv_dtype="int8",
+                                             differentiable=True))
+
+        def loss_single(q, k, v):
+            return jnp.sum(w * sa.sageattn_qk_int8_pv_int8(q, k, v))
+
+        gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+        gs = jax.grad(loss_single, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gr, gs):
+            assert calc_diff(a, b) < 1e-4
+
+    def test_unaligned_raises(self, mesh4):
+        q, k, v = qkv(S=1000)
+        with pytest.raises(ValueError, match="divide evenly"):
+            ring_sageattn(q, k, v, mesh4, differentiable=True)
+
+    def test_lse_raises(self, mesh4):
+        q, k, v = qkv()
+        with pytest.raises(ValueError, match="lse"):
+            ring_sageattn(q, k, v, mesh4, differentiable=True,
+                          return_lse=True)
+
+
 def qkv_gqa(B=1, Hq=8, Hk=2, S=1024, D=64):
     ks = jax.random.split(jax.random.PRNGKey(12), 3)
     q = jax.random.normal(ks[0], (B, Hq, S, D), jnp.float32)

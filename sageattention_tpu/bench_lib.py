@@ -153,6 +153,21 @@ def run_headline(S=8192, D=128, B=4, H=32):
                                quantized=True, compute_dtype=compute,
                                softmax_mode=softmax)
     _, tf_e2e = bench_e2e(B, H, S, D)
+    # hd64 lane (the reference benches hd64 + hd128 everywhere,
+    # `bench_qk_int8_pv_fp16_cuda.py:9-11`).  r5 block sweep
+    # (benchsuite/logs/r5_hd64_sweep.log): the hd128-tuned defaults are
+    # within noise of the best hd64 tiling; absolute TFLOPS halve because
+    # the D=64 QK^T contraction half-fills the MXU — the flash baseline
+    # pays the same, so the speedup holds.
+    t_f64, tf_f64 = bench_kernel(B, H, S, 64, pv_dtype="bf16",
+                                 quantized=False)
+    t_q64, tf_q64 = bench_kernel(B, H, S, 64, pv_dtype=pv, quantized=True,
+                                 compute_dtype=compute, softmax_mode=softmax)
+    t_f64c, tf_f64c = bench_kernel(B, H, S, 64, causal=True,
+                                   pv_dtype="bf16", quantized=False)
+    t_q64c, tf_q64c = bench_kernel(B, H, S, 64, causal=True, pv_dtype=pv,
+                                   quantized=True, compute_dtype=compute,
+                                   softmax_mode=softmax)
     dec = bench_decode()
     return {
         "metric": (f"sageattn qk-int8 pv-{pv} compute-{compute} "
@@ -169,6 +184,11 @@ def run_headline(S=8192, D=128, B=4, H=32):
         "causal_vs_our_flash": round(t_oc / t_qc, 3),
         "causal_our_flash_tflops": round(tf_oc, 1),
         "e2e_tflops_quant_included": round(tf_e2e, 1),
+        "hd64_tflops": round(tf_q64, 1),
+        "hd64_vs_our_flash": round(t_f64 / t_q64, 3),
+        "hd64_our_flash_tflops": round(tf_f64, 1),
+        "hd64_causal_tflops": round(tf_q64c, 1),
+        "hd64_causal_vs_our_flash": round(t_f64c / t_q64c, 3),
         "decode_16k_us": dec["int8_us"],
         "decode_16k_vs_xla_bf16": dec["vs_xla"],
         "device": caps.generation,

@@ -2,23 +2,17 @@
 
     python setup_native.py build_ext --inplace
 
-Produces `_sageattn_native.*.so` at the repo root (the role the reference's
+Produces `_sageattn_serving.*.so` at the repo root (the role the reference's
 `setup.py` nvcc build plays for its CUDA extensions — `setup.py:174-223`;
-here the device kernels are Pallas, so only host-side helpers are native).
+here the device kernels are Pallas, so only the microsecond-path serving
+runtime — page pool + radix prefix cache — is native).
 """
 
-import numpy
 from setuptools import Extension, setup
 
 setup(
     name="sageattn-native",
     ext_modules=[
-        Extension(
-            "_sageattn_native",
-            sources=["csrc/varlen_pack.cpp"],
-            include_dirs=[numpy.get_include()],
-            extra_compile_args=["-O3", "-std=c++17"],
-        ),
         Extension(
             "_sageattn_serving",
             sources=["csrc/serving_runtime.cpp"],

@@ -97,6 +97,64 @@ def sage_dot_product_attention(
                     sliding_window=sliding, **kwargs)
 
 
+def sage_joint_attention_ragged(query, key, value, text_mask,
+                                text_len: Optional[int] = None,
+                                **sage_kwargs):
+    """Mochi-style ragged joint attention: strip per-row PADDED text tokens
+    before attending (`/root/reference/example/modify_model/modify_mochi.py
+    :76-93` runs a host-side Python loop over batch rows, slicing each
+    row's valid prompt tokens and calling attention on the shorter packed
+    sequence).  The TPU-native form is ONE static-shape varlen call:
+
+      - the text prefix of every row is permuted invalid-first (a stable
+        argsort of the bool mask — a gather, no dynamic shapes);
+      - each row becomes two segments of the packed varlen batch: its
+        garbage prefix and its real (valid text + video) sequence, via
+        traced ``cu_seqlens`` — segment-aware quantization keeps pad
+        garbage out of every scale group, and the segment mask replaces
+        the reference's per-row loop;
+      - outputs return to the original layout (inverse permutation), with
+        invalid text positions zeroed (the reference zero-pads too).
+
+    ``query``/``key``/``value``: NHD [B, S, H, D] with the text tokens
+    FIRST (this repo's DiT layout), padded to ``text_len`` (defaults to
+    ``text_mask.shape[1]``); video tokens after, all valid.
+    ``text_mask``: bool [B, text_len], True = real token.
+    """
+    from ..varlen import sageattn_varlen
+
+    B, S, H, D = query.shape
+    T = int(text_mask.shape[1]) if text_len is None else int(text_len)
+    if text_mask.shape != (B, T):
+        raise ValueError(f"text_mask must be [B={B}, text_len={T}], got "
+                         f"{text_mask.shape}")
+    order = jnp.argsort(text_mask.astype(jnp.int32), axis=1,
+                        stable=True)                       # invalid first
+    inv = jnp.argsort(order, axis=1, stable=True)
+    n_garbage = (T - jnp.sum(text_mask, axis=1)).astype(jnp.int32)  # [B]
+
+    def compact(x):
+        xt = jnp.take_along_axis(x[:, :T], order[:, :, None, None], axis=1)
+        return jnp.concatenate([xt, x[:, T:]], axis=1)
+
+    qp, kp, vp = compact(query), compact(key), compact(value)
+    starts = jnp.arange(B, dtype=jnp.int32) * S
+    # alternating (garbage, real) segment boundaries, then the total
+    cu = jnp.concatenate([
+        jnp.stack([starts, starts + n_garbage], axis=1).reshape(-1),
+        jnp.full((1,), B * S, jnp.int32)])
+
+    def flat(x):
+        return x.reshape(B * S, H, D)
+
+    out = sageattn_varlen(flat(qp), flat(kp), flat(vp), cu, cu, S, S,
+                          is_causal=False, **sage_kwargs)
+    out = out.reshape(B, S, H, D)
+    out_t = jnp.take_along_axis(out[:, :T], inv[:, :, None, None], axis=1)
+    out_t = jnp.where(text_mask[:, :, None, None], out_t, 0)
+    return jnp.concatenate([out_t, out[:, T:]], axis=1).astype(query.dtype)
+
+
 def layered_attention(default_fn=None, overrides=None, skip_layers=()):
     """Per-layer attention-processor selection — the reference's second
     integration style (`example/modify_model/modify_mochi.py:112-119` swaps

@@ -136,3 +136,78 @@ class TestLayeredAttention:
         m3 = make_dit(cfg, attn_fn=sage_dot_product_attention)
         out3 = m3.apply(params, latents, text, t)
         np.testing.assert_allclose(np.asarray(out2), np.asarray(out3))
+
+
+class TestRaggedJointAttention:
+    """Mochi-style per-row padded-text stripping through the varlen path
+    (reference craft: `example/modify_model/modify_mochi.py:76-93` loops
+    over batch rows on host; here it is one static-shape segmented call)."""
+
+    def _mk(self, B=2, T=64, V=256, H=4, D=64, n_valid=(64, 23)):
+        from sageattention_tpu.models import sage_joint_attention_ragged
+        S = T + V
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q, k, v = (jax.random.normal(kk, (B, S, H, D), jnp.float32)
+                   for kk in ks)
+        mask = jnp.asarray(np.array(
+            [[i < n for i in range(T)] for n in n_valid]))
+        return sage_joint_attention_ragged, q, k, v, mask, T, V
+
+    def _oracle(self, q, k, v, mask, T, V):
+        B = q.shape[0]
+        valid = jnp.concatenate([mask, jnp.ones((B, V), bool)], axis=1)
+        M = valid[:, None, :, None] & valid[:, None, None, :]
+        ref = jax.nn.dot_product_attention(q, k, v, mask=M)
+        return jnp.where(valid[:, :, None, None], ref, 0), valid
+
+    def test_matches_dense_masked_oracle(self):
+        fn, q, k, v, mask, T, V = self._mk()
+        out = jax.jit(fn)(q, k, v, mask)
+        ref, valid = self._oracle(q, k, v, mask, T, V)
+        assert calc_diff(out, ref) < 1e-3
+        # stripped positions are zeroed, like the reference's output pad
+        assert bool(jnp.all(jnp.where(valid[:, :, None, None], True,
+                                      out == 0)))
+
+    def test_full_mask_matches_plain_varlen_free_case(self):
+        # every text token valid -> plain joint attention, no stripping
+        fn, q, k, v, _, T, V = self._mk(n_valid=(64, 64))
+        mask = jnp.ones((2, T), bool)
+        out = fn(q, k, v, mask)
+        ref = jax.nn.dot_product_attention(q, k, v)
+        assert calc_diff(out, ref) < 1e-3
+
+    def test_inside_dit_block(self):
+        """DiT-scale integration: the processor closes over the text mask
+        and serves as the model's attn_fn (with a last-layer exact skip)."""
+        from sageattention_tpu.models import (
+            make_dit, example_inputs, layered_attention,
+            sage_joint_attention_ragged)
+        cfg = CFG
+        latents, text, t = example_inputs(cfg)
+        B = latents.shape[0]
+        n_valid = [20]
+        tmask = jnp.asarray(np.array(
+            [[i < n for i in range(cfg.text_len)] for n in n_valid]))
+
+        def ragged_fn(q, k, v, *a, **kw):
+            return sage_joint_attention_ragged(q, k, v, tmask)
+
+        def exact_masked(q, k, v, *a, **kw):
+            valid = jnp.concatenate(
+                [tmask, jnp.ones((B, cfg.video_tokens), bool)], axis=1)
+            M = valid[:, None, :, None] & valid[:, None, None, :]
+            out = jax.nn.dot_product_attention(q, k, v, mask=M)
+            return jnp.where(valid[:, :, None, None], out, 0)
+
+        sel = layered_attention(default_fn=ragged_fn,
+                                skip_layers=(cfg.depth - 1,))
+        model = make_dit(cfg, attn_fn=sel)
+        params = model.init(jax.random.PRNGKey(0), latents, text, t)
+        out = model.apply(params, latents, text, t)
+
+        ref_model = make_dit(cfg, attn_fn=layered_attention(
+            default_fn=exact_masked, skip_layers=(cfg.depth - 1,)))
+        ref = ref_model.apply(params, latents, text, t)
+        assert calc_diff(out, ref) < 2e-3
+        assert bool(jnp.all(jnp.isfinite(out)))

@@ -44,6 +44,10 @@ from .ops.paged_decode import _TQ, paged_decode_call
 from .utils.layout import get_layout, round_up
 
 _PAGE_DEFAULT = 256
+# superpage-run consolidation default (R pages per DMA block when the
+# table cooperates); see _select_ways caller.  Flipped to 4 once
+# probe_superpage.py validates the compiled path on v5e.
+_RUNS_DEFAULT = 1
 
 
 class PagedKVCache(NamedTuple):
@@ -542,8 +546,19 @@ def sageattn_decode_paged(
     # multiple (extra slots are dead: table_eff clamps them to the last
     # live page and tok0 >= seq_len skips their compute).
     ways = 1
+    run_len = 1
     if not sliding_window:
         n_pages, ways = _select_ways(page, n_pages, max_pages)
+        # Superpage runs (r5): groups of R=4 slots whose physical pages are
+        # consecutive and R-aligned ride ONE (R,1,page,D) DMA block — the
+        # page-256 paged-vs-dense residual was DMA program count, not
+        # bytes (probe_superpage.py).  Fragmented groups fall back per
+        # group at runtime; sharing granularity stays `page`.
+        # SAGE_PAGED_RUNS=1 forces per-page streams (the r4 behavior).
+        env = os.environ.get("SAGE_PAGED_RUNS")
+        run_len = max(1, int(env)) if env else _RUNS_DEFAULT
+        if ways % run_len or ways < run_len:
+            run_len = 1
 
     out = paged_decode_call(
         qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
@@ -552,7 +567,7 @@ def sageattn_decode_paged(
         n_pages=n_pages,
         window=T if (is_causal and T > 1) else 1,
         lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
-        ways=ways,
+        ways=ways, run_len=run_len, mixed_runs=run_len > 1,
         interpret=interpret,
     )
     out = out[:, :, :rows]

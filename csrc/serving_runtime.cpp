@@ -23,6 +23,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <unordered_map>
 #include <vector>
@@ -32,7 +33,8 @@ namespace {
 // ---------------------------------------------------------------- PagePool
 
 struct PagePool {
-  std::vector<int32_t> free_list;          // LIFO free stack
+  static constexpr int32_t kRunGrain = 4;  // == paged._RUNS_GRAIN
+  std::vector<int32_t> free_list;          // free pages
   std::vector<int32_t> refs;               // per-page refcount
   explicit PagePool(int32_t num_pages) : refs(num_pages, 0) {
     free_list.reserve(num_pages);
@@ -40,12 +42,49 @@ struct PagePool {
   }
   int64_t free_pages() const { return (int64_t)free_list.size(); }
   // Reserve n pages; returns false (and takes nothing) if short.
+  // Run-aware (r5): kRunGrain-aligned consecutive groups first, remainder
+  // ascending — the paged-decode kernel fetches aligned runs as single
+  // DMA blocks, so keep run coverage high across pool churn.
   bool reserve(int32_t n, std::vector<int32_t>* out) {
     if (n > (int32_t)free_list.size()) return false;
+    std::sort(free_list.begin(), free_list.end());
+    std::vector<char> is_free(refs.size(), 0);
+    for (int32_t p : free_list) is_free[p] = 1;
+    std::vector<int32_t> take;
+    take.reserve(n);
+    if (n >= kRunGrain) {
+      for (int32_t p : free_list) {
+        if ((int32_t)take.size() + kRunGrain > n) break;
+        if (p % kRunGrain != 0) continue;
+        bool run = true;
+        for (int32_t i = 0; i < kRunGrain; ++i) {
+          if (p + i >= (int32_t)refs.size() || !is_free[p + i]) {
+            run = false;
+            break;
+          }
+        }
+        if (run) {
+          for (int32_t i = 0; i < kRunGrain; ++i) {
+            take.push_back(p + i);
+            is_free[p + i] = 0;
+          }
+        }
+      }
+    }
+    for (int32_t p : free_list) {
+      if ((int32_t)take.size() >= n) break;
+      if (is_free[p]) {
+        take.push_back(p);
+        is_free[p] = 0;
+      }
+    }
+    std::vector<int32_t> remaining;
+    remaining.reserve(free_list.size() - n);
+    for (int32_t p : free_list)
+      if (is_free[p]) remaining.push_back(p);
+    free_list.swap(remaining);
     out->reserve(out->size() + n);
-    for (int32_t i = 0; i < n; ++i) {
-      int32_t p = free_list.back();
-      free_list.pop_back();
+    for (int32_t p : take) {
       refs[p] = 1;
       out->push_back(p);
     }

@@ -45,9 +45,10 @@ from .utils.layout import get_layout, round_up
 
 _PAGE_DEFAULT = 256
 # superpage-run consolidation default (R pages per DMA block when the
-# table cooperates); see _select_ways caller.  Flipped to 4 once
+# table cooperates); see _select_ways caller.  Flipped to _RUNS_GRAIN once
 # probe_superpage.py validates the compiled path on v5e.
 _RUNS_DEFAULT = 1
+_RUNS_GRAIN = 4   # allocator run-alignment grain == kernel run_len
 
 
 class PagedKVCache(NamedTuple):
@@ -105,9 +106,29 @@ class PageAllocator:
         if n > len(self._free):
             raise MemoryError(f"page pool exhausted: need {n}, "
                               f"have {len(self._free)}")
-        pages = [self._free.pop() for _ in range(n)]
-        self._refs[pages] += 1
-        return pages
+        # Run-aware (r5): hand out _RUNS_GRAIN-aligned consecutive groups
+        # first, remainder ascending — the decode kernel fetches aligned
+        # runs as single DMA blocks (ops/paged_decode.py mixed_runs), so
+        # the allocator keeps run coverage high even after pool churn.
+        R = _RUNS_GRAIN
+        free = sorted(self._free)
+        free_set = set(free)
+        take: list[int] = []
+        if n >= R:
+            for p in free:
+                if len(take) + R > n:
+                    break
+                if p % R == 0 and all(p + i in free_set for i in range(R)):
+                    run = [p + i for i in range(R)]
+                    take += run
+                    free_set.difference_update(run)
+        if len(take) < n:
+            rest = [p for p in free if p in free_set][:n - len(take)]
+            take += rest
+            free_set.difference_update(rest)
+        self._free = [p for p in free if p in free_set]
+        self._refs[take] += 1
+        return take
 
     def share(self, pages: Sequence[int]) -> list[int]:
         """Add a reference to already-reserved pages (prefix sharing)."""

@@ -60,10 +60,29 @@ class _PyPagePool:
         if n > len(self._free):
             raise MemoryError(f"page pool exhausted: need {n}, "
                               f"have {len(self._free)}")
-        pages = [self._free.pop() for _ in range(n)]
-        for p in pages:
+        # Run-aware, mirroring the native pool (serving_runtime.cpp
+        # kRunGrain): aligned consecutive quads first so the paged-decode
+        # kernel's superpage runs fire, remainder ascending.
+        R = 4
+        free = sorted(self._free)
+        free_set = set(free)
+        take: list = []
+        if n >= R:
+            for p in free:
+                if len(take) + R > n:
+                    break
+                if p % R == 0 and all(p + i in free_set for i in range(R)):
+                    run = [p + i for i in range(R)]
+                    take += run
+                    free_set.difference_update(run)
+        if len(take) < n:
+            rest = [p for p in free if p in free_set][:n - len(take)]
+            take += rest
+            free_set.difference_update(rest)
+        self._free = [p for p in free if p in free_set]
+        for p in take:
             self._refs[p] = 1
-        return pages
+        return take
 
     def share(self, pages: Sequence[int]) -> list:
         for p in pages:

@@ -525,3 +525,42 @@ class TestMixedRuns:
         for b in range(B):
             ref = _oracle(q[b], k[b], v[b], lengths[b])
             assert calc_diff(out[b], ref) < BAR, b
+
+
+class TestRunAwareAllocator:
+    def test_fresh_pool_ascending_runs(self):
+        alloc = PageAllocator(16, 256)
+        assert alloc.reserve(8) == list(range(8))
+
+    def test_aligned_runs_after_churn(self):
+        """After interleaved release, reserve() prefers 4-aligned
+        consecutive quads (the decode kernel's superpage-run grain) over
+        recency order."""
+        alloc = PageAllocator(32, 256)
+        rows = [alloc.reserve(4) for _ in range(8)]   # whole pool out
+        # free quads 1 and 5 (aligned runs) plus scattered singles from
+        # rows 3 and 6, in a recency order a LIFO would hand back first
+        alloc.release(rows[6][:2])
+        alloc.release(rows[5])
+        alloc.release(rows[3][1:3])
+        alloc.release(rows[1])
+        got = alloc.reserve(8)
+        assert got[:8] == rows[1] + rows[5]           # the two aligned runs
+        # remainder requests fall back to the scattered singles, ascending
+        rest = alloc.reserve(4)
+        assert rest == sorted(rows[3][1:3] + rows[6][:2])
+
+    def test_native_pool_matches(self):
+        serving = pytest.importorskip("sageattention_tpu.serving")
+        if not serving.HAVE_NATIVE:
+            pytest.skip("native serving runtime not built")
+        pool = serving._ext.PagePool(32)
+        rows = []
+        for _ in range(8):
+            rows.append(pool.reserve(4))
+        pool.release(rows[6][:2])
+        pool.release(rows[5])
+        pool.release(rows[3][1:3])
+        pool.release(rows[1])
+        got = pool.reserve(8)
+        assert list(got)[:8] == list(rows[1]) + list(rows[5])

@@ -53,6 +53,7 @@ def bench_kernel(B=4, H=32, S=8192, D=128, causal=False, pv_dtype="int8",
         bki = blocks[2] if len(blocks) > 2 else bk
     cfg = AttnConfig(block_q=bq, block_k=bk, block_k_inner=bki, causal=causal,
                      quantized=quantized, pv_dtype=pv_dtype, layout="HND",
+                     fp8_native_dot=detect().has_fast_fp8,
                      kv_len=S, out_dtype=jnp.bfloat16,
                      fold_k_scale=quantized and fold_k,
                      compute_dtype=compute_dtype, softmax_mode=softmax_mode,

@@ -629,6 +629,7 @@ def _sage_attention(
             out_dtype=q.dtype if jnp.issubdtype(q.dtype, jnp.floating) else jnp.bfloat16,
             masked=masked, fold_k_scale=(k_scale_mode == "head"),
             compute_dtype=compute_dtype, softmax_mode=mode,
+            fp8_native_dot=dispatch.detect().has_fast_fp8,
             emit_lse=return_lse,  # inference callers skip the lse store
             # smooth_v repair (o += vm) fused into the kernel epilogue —
             # the reference's fuse_v_mean kernels; saves an output-sized

@@ -336,6 +336,7 @@ def sageattn_decode(
         quantized=True,
         pv_dtype=("fp8" if cache.v_fp8 else
                   "int8" if cache.v_int8 else "bf16"),
+        fp8_native_dot=dispatch.detect().has_fast_fp8,
         layout="HND",
         sm_scale=sm_scale,
         kv_len=bucket,

@@ -88,6 +88,16 @@ class AttnConfig:
     # bandwidth-bound decode path).  causal_dynamic only.
     quantized: bool = True
     pv_dtype: str = "bf16"  # "bf16" | "int8" | "fp8"
+    fp8_native_dot: bool = False  # True only on generations with a real
+    # fp8 MXU (dispatch.has_fast_fp8): feed the e4m3 operands to
+    # dot_general directly.  False (emulated fp8, v5e): upcast both
+    # operands to bf16 EXPLICITLY — e4m3 values (subnormals included) are
+    # exact in bf16, whereas Mosaic's emulated e4m3 dot flushes subnormal
+    # P codes that l_cur's f32 sum keeps, a numerator/denominator mismatch
+    # that grew with S (plain fp8 @4K: 3.6e-3 compiled vs 8e-4 interpret —
+    # root-caused r5, benchsuite/logs/r5_fp8_probe.log; the decode kernels
+    # always upcast explicitly, which is why the fp8 V cache measured
+    # 4e-4 while the dense fp8 path did not).
     compute_dtype: str = "native"  # "native": dots run in the storage dtype
     # (int8 QK^T on the MXU).  "bf16": int8 *storage* with bf16 *compute* —
     # Q is dequantized once per Q-tile into a VMEM scratch, K/V tiles are
@@ -560,9 +570,19 @@ def _attn_kernel(
                 p_q = jnp.exp2(s - _bcast(m_next, BKI) + FP8_OFFSET_LOG2
                                ).astype(jnp.float8_e4m3fn)
                 l_cur = jnp.sum(p_q.astype(jnp.float32), axis=1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p_q, v,
-                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                if cfg.fp8_native_dot:
+                    pv = jax.lax.dot_general(
+                        p_q, v,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                else:
+                    # emulated fp8 (no fast-fp8 MXU): explicit bf16 upcast
+                    # keeps e4m3 subnormal codes (exact in bf16) that the
+                    # emulated e4m3 dot would flush — see AttnConfig
+                    pv = jax.lax.dot_general(
+                        p_q.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
             m_scr[...] = m_next
             l_scr[...] = alpha * l_prev + l_cur

@@ -238,6 +238,7 @@ def _ring_body(
             causal_dynamic=is_causal,  # offsets vary with the rotating source
             quantized=True, fold_k_scale=fold_k, compute_dtype=compute_dtype,
             pv_dtype=pv_dtype, layout="HND", kv_len=S, softmax_mode=mode,
+            fp8_native_dot=detect().has_fast_fp8,
             # keep P bf16 in the online fallback so both branches of the
             # safety cond share numerics (as core._sage_attention does)
             pv_via_bf16=(mode == "online" and static_mode),

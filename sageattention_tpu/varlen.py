@@ -403,6 +403,7 @@ def _varlen_finish(q, qb, q_i8, k_i8, v_in, q_scale, k_scale, v_scale, vm,
             causal=is_causal, quantized=True,
             pv_dtype=pv_dtype, layout="HND", kv_len=Tk_pad,  # tail masked by segments
             out_dtype=q.dtype, segmented=True, masked=masked,
+            fp8_native_dot=dispatch.detect().has_fast_fp8,
             compute_dtype=compute_dtype, fold_k_scale=fold_k,
             fuse_v_mean=(vm is not None),  # smooth_v repair in the epilogue
             softmax_mode=mode, emit_lse=return_lse,

@@ -79,19 +79,27 @@ def run(L, B=None, Hq=32, Hk=8, D=128, reps=50):
                            (16, 4, True), (16, 8, True)):
         if per_seq % ways:
             continue
-        fn = jax.jit(lambda qq, tt, ll, _w=ways, _r=R, _m=mixed:
-                     paged_decode_call(
-                         qq, cachep.k8_pool, cachep.ks_pool, cachep.v_pool,
-                         cachep.v_scale, cachep.v_mean, tt, ll,
-                         n_pages=per_seq, window=1, ways=_w, run_len=_r,
-                         mixed_runs=_m))
-        out = fn(qt, table_eff, lengths)
-        t = time_fn(fn, qt, table_eff, lengths, reps=reps)
+
+        # pools must be jit ARGUMENTS: closed-over they become inline HLO
+        # constants and the remote_compile request blows its size limit
+        # (HTTP 413)
+        def call(qq, kp_, ksp_, vp_, vs_, vm_, tt, ll, _w=ways, _r=R,
+                 _m=mixed):
+            return paged_decode_call(
+                qq, kp_, ksp_, vp_, vs_, vm_, tt, ll,
+                n_pages=per_seq, window=1, ways=_w, run_len=_r,
+                mixed_runs=_m)
+
+        fn = jax.jit(call)
+        args = (qt, cachep.k8_pool, cachep.ks_pool, cachep.v_pool,
+                cachep.v_scale, cachep.v_mean)
+        out = fn(*args, table_eff, lengths)
+        t = time_fn(fn, *args, table_eff, lengths, reps=reps)
         tag = "mixed" if mixed else "pure "
         print(f"  page=256 ways={ways:>2} R={R:>2} {tag} contig: "
               f"{t*1e6:8.1f} us  ({t/t_dense:5.2f}x dense)", flush=True)
         if mixed:
-            t2 = time_fn(fn, qt, table_sh, lengths, reps=reps)
+            t2 = time_fn(fn, *args, table_sh, lengths, reps=reps)
             print(f"  page=256 ways={ways:>2} R={R:>2} {tag} shuffl: "
                   f"{t2*1e6:8.1f} us  ({t2/t_dense:5.2f}x dense)",
                   flush=True)

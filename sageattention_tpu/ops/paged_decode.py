@@ -72,54 +72,25 @@ def _paged_kernel(
     #                 each stream's block is (R, 1, page, D) so one DMA
     #                 program moves R pages — the page-granularity tax is
     #                 program COUNT, not bytes (probe_superpage.py)
-    mixed: bool,    # per-GROUP adaptive runs: BOTH a super stream set
-    #                 ((R,1,page,D) blocks) and the per-page set ride the
-    #                 grid; a scalar run-flag picks the source per group
-    #                 and the other set's forward-filled index repeats, so
-    #                 Mosaic skips its DMA.  Contiguous pool regions pay
-    #                 R-fold fewer DMA programs, fragmented ones fall back
-    #                 per 4-slot group — sharing granularity stays `page`.
 ):
     R = run_len
-    rflag_ref = None
-    if mixed:
-        nG = ways // R
-        # two extra scalar operands (run table + flags, index-map and body
-        # consumers) shift the positional refs
-        _tsup_ref, rflag_ref, q_ref = q_ref, rest[0], rest[1]
-        rest = rest[2:]
-        sk_refs = rest[0:nG]
-        sks_refs = rest[nG:2 * nG]
-        sv_refs = rest[2 * nG:3 * nG]
-        rest = rest[3 * nG:]
-        n_streams = ways
-    else:
-        n_streams = ways // R
-        if R > 1:
-            # the run table rides as a 5th scalar-prefetch operand consumed
-            # by the index maps only; q_ref actually holds it in that case
-            _tsup_ref, q_ref, rest = q_ref, rest[0], rest[1:]
+    n_streams = ways // R
+    if R > 1:
+        # the run table rides as a 5th scalar-prefetch operand consumed
+        # by the index maps only; q_ref actually holds it in that case
+        _tsup_ref, q_ref, rest = q_ref, rest[0], rest[1:]
     k_refs = rest[0:n_streams]
     ks_refs = rest[n_streams:2 * n_streams]
     v_refs = rest[2 * n_streams:3 * n_streams]
-    (vs_ref, vm_ref, o_ref, m_scr, l_scr, acc_scr), extra_scr = \
-        rest[3 * n_streams:3 * n_streams + 6], rest[3 * n_streams + 6:]
-    if mixed:
-        s_scr, pv_scr = extra_scr
+    vs_ref, vm_ref, o_ref, m_scr, l_scr, acc_scr = rest[3 * n_streams:]
 
     def k_tile(w):
-        if mixed:
-            return k_refs[w][0, 0]
         return k_refs[w // R][w % R, 0]
 
     def ks_tile(w):
-        if mixed:
-            return ks_refs[w][0, 0]
         return ks_refs[w // R][w % R, 0]
 
     def v_tile(w):
-        if mixed:
-            return v_refs[w][0, 0]
         return v_refs[w // R][w % R, 0]
     b = pl.program_id(0)
     jp = pl.program_id(2)
@@ -167,30 +138,9 @@ def _paged_kernel(
                 preferred_element_type=jnp.float32)       # (TQ, page)
             return sw * ks_t                              # (1, page) lanes
 
-        if mixed:
-            # per-group source select: super (R pages, 1 DMA) or per-page;
-            # logits land in s_scr columns, assembled once below
-            for wg in range(nG):
-                flag = rflag_ref[b, jp * nG + wg]
-
-                @pl.when(flag != 0)
-                def _sup(wg=wg):
-                    for r in range(R):
-                        w = wg * R + r
-                        s_scr[:, w * page:(w + 1) * page] = _s_of(
-                            sk_refs[wg][r, 0], sks_refs[wg][r, 0])
-
-                @pl.when(flag == 0)
-                def _sml(wg=wg):
-                    for r in range(R):
-                        w = wg * R + r
-                        s_scr[:, w * page:(w + 1) * page] = _s_of(
-                            k_tile(w), ks_tile(w))
-
         s_parts, col_parts, keep_parts = [], [], []
         for w in range(ways):
-            if not mixed:
-                s_parts.append(_s_of(k_tile(w), ks_tile(w)))
+            s_parts.append(_s_of(k_tile(w), ks_tile(w)))
             cw = (jax.lax.broadcasted_iota(jnp.int32, (_TQ, page), 1)
                   + tok0s[w])
             col_parts.append(cw)
@@ -205,11 +155,8 @@ def _paged_kernel(
                     jnp.logical_and(is_sink_page, cw < sinks),
                     jnp.logical_and(jnp.logical_not(is_sink_page),
                                     cw >= lo_ref[b])))
-        if mixed:
-            s = s_scr[...]
-        else:
-            s = (s_parts[0] if ways == 1
-                 else jnp.concatenate(s_parts, axis=1))
+        s = (s_parts[0] if ways == 1
+             else jnp.concatenate(s_parts, axis=1))
         cols = (col_parts[0] if ways == 1
                 else jnp.concatenate(col_parts, axis=1))
         # base-2 logits from here (log2e folded into q by the host)
@@ -250,32 +197,10 @@ def _paged_kernel(
                 pw.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        if mixed:
-            pv_scr[...] = jnp.zeros_like(pv_scr)
-            for wg in range(nG):
-                flag = rflag_ref[b, jp * nG + wg]
-
-                @pl.when(flag != 0)
-                def _pvsup(wg=wg):
-                    acc = None
-                    for r in range(R):
-                        x = _pv_of(wg * R + r, sv_refs[wg][r, 0])
-                        acc = x if acc is None else acc + x
-                    pv_scr[...] += acc
-
-                @pl.when(flag == 0)
-                def _pvsml(wg=wg):
-                    acc = None
-                    for r in range(R):
-                        x = _pv_of(wg * R + r, v_tile(wg * R + r))
-                        acc = x if acc is None else acc + x
-                    pv_scr[...] += acc
-            pv = pv_scr[...]
-        else:
-            pv = None
-            for w in range(ways):
-                pvw = _pv_of(w, v_tile(w))
-                pv = pvw if pv is None else pv + pvw
+        pv = None
+        for w in range(ways):
+            pvw = _pv_of(w, v_tile(w))
+            pv = pvw if pv is None else pv + pvw
         m_scr[...] = m_next
         l_scr[...] = alpha * l_scr[...] + l_cur
         acc_scr[...] = acc_scr[...] * _bcast(alpha, acc_scr.shape[-1]) + pv
@@ -287,22 +212,6 @@ def _paged_kernel(
         o = acc_scr[...] * _bcast(1.0 / jnp.where(l == 0.0, 1.0, l), D)
         o = o * vs_ref[0, 0] + vm_ref[0, 0]               # (1, D) broadcasts
         o_ref[0, 0] = o.astype(o_ref.dtype)
-
-
-def _ffill(v, keep, axis):
-    """Forward-fill: entries where ``keep`` is False take the last kept
-    value along ``axis`` (the leading run keeps its own values — one
-    harmless DMA).  Used to make the unused stream set's block index
-    repeat so Mosaic skips its fetch."""
-    keep = jnp.broadcast_to(keep, v.shape)
-
-    def op(a, b):
-        av, ak = a
-        bv, bk = b
-        return jnp.where(bk, bv, av), jnp.logical_or(ak, bk)
-
-    out, _ = jax.lax.associative_scan(op, (v, keep), axis=axis)
-    return out
 
 
 def paged_decode_call(
@@ -325,16 +234,16 @@ def paged_decode_call(
     #                   counterpart of AttnConfig.kv_split
     run_len: int = 1,  # R: fetch R physically-consecutive, R-aligned pages
     #                   per DMA block ((R,1,page,D) — a regular strided
-    #                   slice of the pool, no relayout).  Without
-    #                   ``mixed_runs`` the caller must guarantee every live
-    #                   slot group IS an aligned run; the DMA program count
-    #                   drops R-fold, which is the page-256 granularity tax
-    #                   (probe_superpage.py).
-    mixed_runs: bool = False,  # detect aligned runs per R-slot group at
-    #                   runtime (traced table): run groups ride the super
-    #                   (R-page) stream set, fragmented groups the per-page
-    #                   set; the unused set's forward-filled index repeats,
-    #                   so its DMA is skipped.  page-granular sharing kept.
+    #                   slice of the pool, no relayout).  The caller must
+    #                   guarantee every LIVE slot group is an aligned run
+    #                   (sageattn_decode_paged's lax.cond checks the traced
+    #                   table and falls back to R=1 otherwise); the DMA
+    #                   program count drops R-fold, which was the page-256
+    #                   granularity tax — measured 1.23x -> 0.83x dense
+    #                   @16K (probe_superpage.py).  A per-group mixed-
+    #                   stream fallback was built and measured 1.3-1.9x
+    #                   SLOWER (dual operand sets + branchy scratch writes
+    #                   defeat Mosaic's pipelining) — batch-level cond won.
     interpret: bool = False,
 ):
     """Launch the paged decode kernel.  ``Hg`` is the grid's head count:
@@ -348,42 +257,26 @@ def paged_decode_call(
     assert n_pages <= table_eff.shape[1], (n_pages, table_eff.shape)
     assert n_pages % ways == 0, (n_pages, ways)
     R = run_len
-    mixed = bool(mixed_runs) and R > 1
     assert ways % R == 0 and P % R == 0, (ways, R, P)
     sliding = win_lo is not None
-    assert not (mixed and sliding), "runs are plain-stream only"
+    assert not (R > 1 and sliding), "runs are plain-stream only"
     if lpage is None:
         lpage = jnp.broadcast_to(jnp.arange(table_eff.shape[1],
                                             dtype=jnp.int32)[None],
                                  table_eff.shape)
     if win_lo is None:
         win_lo = jnp.zeros((B,), jnp.int32)
-    nG = ways // R
-    n_streams = ways if mixed else nG
+    n_streams = ways // R
     n_steps = n_pages // ways
-    table_in = table_eff.astype(jnp.int32)
-    if mixed:
-        # runtime run detection per R-slot group (traced table): an
-        # aligned consecutive group rides the super stream; everyone else
-        # the per-page streams.  The unused set's index forward-fills so
-        # consecutive equal indices skip the DMA.
-        grp = table_in[:, :n_pages].reshape(B, n_steps, nG, R)
-        consec = jnp.all(grp == grp[..., :1]
-                         + jnp.arange(R, dtype=jnp.int32), axis=-1)
-        flags = jnp.logical_and(consec, (grp[..., 0] % R) == 0)
-        table_sup = _ffill(grp[..., 0] // R, flags,
-                           axis=1).reshape(B, n_steps * nG)
-        small = _ffill(grp, jnp.logical_not(flags)[..., None], axis=1)
-        table_in = small.reshape(B, n_pages)
-        rflag = flags.astype(jnp.int32).reshape(B, n_steps * nG)
-    elif R > 1:
+    if R > 1:
         # per-stream run table in block units: slot group (g*R .. g*R+R-1)
-        # -> table[b, g*R] // R (caller guarantees aligned physical runs)
+        # -> table[b, g*R] // R (live groups are aligned runs by contract;
+        # dead/clamped groups fetch junk pages the column mask hides)
         table_sup = table_eff[:, ::R] // R
 
     def _mk_sup(wg):
         def kv_im(b, h, jp, table, lens, lpage_, lo, tsup, *_):
-            return (tsup[b, jp * nG + wg], h // G, 0, 0)
+            return (tsup[b, jp * n_streams + wg], h // G, 0, 0)
         return kv_im
 
     def _mk_way(w):
@@ -393,27 +286,14 @@ def paged_decode_call(
             return (table[b, ways * jp + w], h // G, 0, 0)
         return kv_im
 
-    if mixed:
-        sup_ims = [_mk_sup(wg) for wg in range(nG)]
-        way_ims = [_mk_way(w) for w in range(ways)]
-        kv_specs = (
-            [pl.BlockSpec((R, 1, page, D), im) for im in sup_ims]
-            + [pl.BlockSpec((R, 1, 1, page), im) for im in sup_ims]
-            + [pl.BlockSpec((R, 1, page, D), im) for im in sup_ims]
-            + [pl.BlockSpec((1, 1, page, D), im) for im in way_ims]
-            + [pl.BlockSpec((1, 1, 1, page), im) for im in way_ims]
-            + [pl.BlockSpec((1, 1, page, D), im) for im in way_ims])
-        kv_ops = ([k8_pool] * nG + [ks_pool] * nG + [v_pool] * nG
-                  + [k8_pool] * ways + [ks_pool] * ways + [v_pool] * ways)
-    else:
-        way_ims = ([_mk_sup(w) for w in range(n_streams)] if R > 1
-                   else [_mk_way(w) for w in range(n_streams)])
-        kv_specs = (
-            [pl.BlockSpec((R, 1, page, D), im) for im in way_ims]
-            + [pl.BlockSpec((R, 1, 1, page), im) for im in way_ims]
-            + [pl.BlockSpec((R, 1, page, D), im) for im in way_ims])
-        kv_ops = ([k8_pool] * n_streams + [ks_pool] * n_streams
-                  + [v_pool] * n_streams)
+    way_ims = ([_mk_sup(w) for w in range(n_streams)] if R > 1
+               else [_mk_way(w) for w in range(n_streams)])
+    kv_specs = (
+        [pl.BlockSpec((R, 1, page, D), im) for im in way_ims]
+        + [pl.BlockSpec((R, 1, 1, page), im) for im in way_ims]
+        + [pl.BlockSpec((R, 1, page, D), im) for im in way_ims])
+    kv_ops = ([k8_pool] * n_streams + [ks_pool] * n_streams
+              + [v_pool] * n_streams)
 
     grid = (B, Hg, n_steps)
     in_specs = (
@@ -424,22 +304,16 @@ def paged_decode_call(
     )
     kernel = functools.partial(_paged_kernel, n_pages=n_steps,
                                page=page, window=window, sliding=sliding,
-                               sinks=sinks, ways=ways, run_len=R,
-                               mixed=mixed)
-    scalars = [table_in, lengths.astype(jnp.int32),
+                               sinks=sinks, ways=ways, run_len=R)
+    scalars = [table_eff.astype(jnp.int32), lengths.astype(jnp.int32),
                lpage.astype(jnp.int32), win_lo.astype(jnp.int32)]
     if R > 1:
         scalars.append(table_sup.astype(jnp.int32))
-    if mixed:
-        scalars.append(rflag)
     scratch = [
         pltpu.VMEM((TQ, LANES), jnp.float32),
         pltpu.VMEM((TQ, LANES), jnp.float32),
         pltpu.VMEM((TQ, D), jnp.float32),
     ]
-    if mixed:
-        scratch += [pltpu.VMEM((TQ, ways * page), jnp.float32),
-                    pltpu.VMEM((TQ, D), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

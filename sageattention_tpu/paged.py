@@ -45,9 +45,9 @@ from .utils.layout import get_layout, round_up
 
 _PAGE_DEFAULT = 256
 # superpage-run consolidation default (R pages per DMA block when the
-# table cooperates); see _select_ways caller.  Flipped to _RUNS_GRAIN once
-# probe_superpage.py validates the compiled path on v5e.
-_RUNS_DEFAULT = 1
+# table cooperates): validated + measured on v5e r5 (probe_superpage.py —
+# page=256 decode 1.23x -> 0.83x dense @16K, 1.07x @128K).
+_RUNS_DEFAULT = 4
 _RUNS_GRAIN = 4   # allocator run-alignment grain == kernel run_len
 
 
@@ -108,7 +108,7 @@ class PageAllocator:
                               f"have {len(self._free)}")
         # Run-aware (r5): hand out _RUNS_GRAIN-aligned consecutive groups
         # first, remainder ascending — the decode kernel fetches aligned
-        # runs as single DMA blocks (ops/paged_decode.py mixed_runs), so
+        # runs as single DMA blocks (ops/paged_decode.py run_len), so
         # the allocator keeps run coverage high even after pool churn.
         R = _RUNS_GRAIN
         free = sorted(self._free)
@@ -570,27 +570,49 @@ def sageattn_decode_paged(
     run_len = 1
     if not sliding_window:
         n_pages, ways = _select_ways(page, n_pages, max_pages)
-        # Superpage runs (r5): groups of R=4 slots whose physical pages are
-        # consecutive and R-aligned ride ONE (R,1,page,D) DMA block — the
-        # page-256 paged-vs-dense residual was DMA program count, not
-        # bytes (probe_superpage.py).  Fragmented groups fall back per
-        # group at runtime; sharing granularity stays `page`.
+        # Superpage runs (r5): when every LIVE R-slot group's physical
+        # pages are consecutive and R-aligned, fetch each group as ONE
+        # (R,1,page,D) DMA block — the page-256 paged-vs-dense residual
+        # was DMA program count, not bytes; measured 1.23x -> 0.83x dense
+        # @16K (probe_superpage.py).  The run-aware allocators make this
+        # the common case; fragmented tables take the per-page kernel via
+        # lax.cond (a per-group mixed-stream kernel was built and measured
+        # 1.3-1.9x SLOWER — dual operand sets defeat Mosaic pipelining).
         # SAGE_PAGED_RUNS=1 forces per-page streams (the r4 behavior).
         env = os.environ.get("SAGE_PAGED_RUNS")
         run_len = max(1, int(env)) if env else _RUNS_DEFAULT
-        if ways % run_len or ways < run_len:
+        if (ways % run_len or ways < run_len or n_pages % run_len
+                or cache.num_pages % run_len):
             run_len = 1
 
-    out = paged_decode_call(
-        qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
-        cache.v_scale, cache.v_mean,
-        table_eff, cache.lengths,
-        n_pages=n_pages,
-        window=T if (is_causal and T > 1) else 1,
-        lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
-        ways=ways, run_len=run_len, mixed_runs=run_len > 1,
-        interpret=interpret,
-    )
+    def _decode(rl):
+        def f(table_arg):
+            return paged_decode_call(
+                qt, cache.k8_pool, cache.ks_pool, cache.v_pool,
+                cache.v_scale, cache.v_mean,
+                table_arg, cache.lengths,
+                n_pages=n_pages,
+                window=T if (is_causal and T > 1) else 1,
+                lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
+                ways=ways, run_len=rl,
+                interpret=interpret,
+            )
+        return f
+
+    if run_len > 1:
+        R = run_len
+        grp = table_eff[:, :n_pages].reshape(B, -1, R)
+        aligned = jnp.logical_and(
+            (grp[..., 0] % R) == 0,
+            jnp.all(grp == grp[..., :1] + jnp.arange(R, dtype=grp.dtype),
+                    axis=-1))                              # [B, n_groups]
+        n_live = -(-cache.lengths // page)                 # [B]
+        g_live = (jnp.arange(grp.shape[1], dtype=jnp.int32)[None] * R
+                  < n_live[:, None])
+        runs_ok = jnp.all(jnp.logical_or(aligned, ~g_live))
+        out = jax.lax.cond(runs_ok, _decode(run_len), _decode(1), table_eff)
+    else:
+        out = _decode(1)(table_eff)
     out = out[:, :, :rows]
     if fold:
         out = out.reshape(B, Hq, 1, D)

@@ -502,7 +502,16 @@ def _sage_attention(
             # reference's own fp8 path has no counterpart).  True rows
             # only: pads hold -vm/vs codes that must not poison the mean.
             valid = jnp.expand_dims(jnp.arange(Sk_pad) < Sk_true, (0, 1, 3))
-            code_mean = (jnp.sum(v_in.astype(jnp.float32) * valid, axis=2,
+            # optimization_barrier: under jit, XLA:TPU's simplifier cancels
+            # the f32->e4m3->f32 round-trip inside mean(codes.astype(f32)),
+            # silently turning this fold into mean(exact values) = 0 — the
+            # entire r5 compiled-vs-interpret fp8 accuracy gap (1.06e-2 vs
+            # 8.4e-4 at S=4096 V-outlier; root-caused in
+            # benchsuite/logs/r5_fp8_cross.log: every prep tensor bit-equal
+            # except the folded vm).  The barrier pins the CODES as the
+            # reduction input.
+            codes = jax.lax.optimization_barrier(v_in)
+            code_mean = (jnp.sum(codes.astype(jnp.float32) * valid, axis=2,
                                  keepdims=True) / Sk_true)
             vm = vm - code_mean * v_scale
     else:

@@ -187,6 +187,11 @@ def kv_cache_init(
         # storing vm - mean(codes)*vs makes the reconstruction's channel
         # mean EXACTLY the true channel mean; appended tokens subtract
         # the adjusted vm and stay consistent (fixed centering is free).
+        # optimization_barrier: stops XLA:TPU cancelling the fp8 round-
+        # trip inside mean(codes) under jit, which would void the fold
+        # (core.py has the full story; int8's explicit rint is immune but
+        # the barrier is free)
+        vq = jax.lax.optimization_barrier(vq)
         vm = vm - jnp.mean(vq.astype(jnp.float32), axis=2,
                            keepdims=True) * vs
     else:

@@ -241,6 +241,10 @@ def paged_prefill(
         # bias does not average out); pads quantize to 0 so the masked
         # mean is sum(codes)/valid-count
         count = jnp.maximum(jnp.sum(lengths), 1).astype(jnp.float32)
+        # optimization_barrier: see core.py — without it XLA:TPU cancels
+        # the fp8 quantize/upcast round-trip under jit and the fold
+        # becomes a no-op
+        vq = jax.lax.optimization_barrier(vq)
         code_mean = (jnp.sum(vq.astype(jnp.float32), axis=(0, 2),
                              keepdims=True) / count)[0:1]
         vm = vm - code_mean * vs

@@ -68,7 +68,10 @@ def main():
     row("pv bf16 dense", q, k, v, fn=sa.sageattn_qk_int8_pv_bf16)
     row("pv bf16 causal", q, k, v, fn=sa.sageattn_qk_int8_pv_bf16,
         is_causal=True)
-    row("pv fp8 (exp-offset) dense", q, k, v, bar=5e-3,
+    # fp8 bars tightened r5 after the vm-fold barrier fix (compiled now ==
+    # interpret: dense 4.6e-4, causal ~1e-3, V-outlier 8.5e-4); 2.5e-3
+    # keeps 2.5x headroom while catching any regression to the old 3-11e-3
+    row("pv fp8 (exp-offset) dense", q, k, v, bar=2.5e-3,
         fn=sa.sageattn_qk_int8_pv_fp8)
     row("pv int8 online fine-gran", q, k, v,
         fn=sa.sageattn_qk_int8_pv_int8, k_scale_mode="fine",
@@ -85,7 +88,7 @@ def main():
 
     # 3b. r3 widening: fp8-PV causal, per_warp granularity, NHD layout
     q, k, v = mk(key=6)
-    row("pv fp8 causal", q, k, v, bar=5e-3, fn=sa.sageattn_qk_int8_pv_fp8,
+    row("pv fp8 causal", q, k, v, bar=2.5e-3, fn=sa.sageattn_qk_int8_pv_fp8,
         is_causal=True)
     row("per_warp granularity dense", q, k, v, qk_quant_gran="per_warp")
     qn, kn, vn = (jnp.swapaxes(x, 1, 2) for x in mk(key=7))
@@ -270,7 +273,7 @@ def main():
     v = v.at[..., 5].multiply(80.0)
     row("V channel x80 per-channel scale (pv int8)", q, k, v,
         fn=sa.sageattn_qk_int8_pv_int8)
-    row("V channel x80 (pv fp8)", q, k, v, bar=5e-3,
+    row("V channel x80 (pv fp8)", q, k, v, bar=2.5e-3,
         fn=sa.sageattn_qk_int8_pv_fp8)
 
     print(f"MATRIX {'PASS' if not FAILS else 'FAIL: ' + ', '.join(FAILS)}",

@@ -45,8 +45,15 @@ from sageattention_tpu.utils.testing import time_fn
 PAGE = 256
 STEPS = 64
 Hq, Hk, D = 32, 8, 128
-LENGTHS = [16384, 12288, 8192, 6144, 4096, 2048, 1024, 512]
-PREFIX = 512  # shared system prompt (2 full pages -> radix-cache hits)
+LENGTHS = [16384, 12288, 8192, 6144, 4096, 2048, 1024, 1024]
+# Shared system prompt.  TWO serving-design rules priced by this probe:
+# (1) the table WIDTH must leave room for the ways rounding (a width of
+#     exactly pages_bucket collapses _select_ways to 1 stream — measured
+#     4830 tok/s vs the multi-way/run configuration below);
+# (2) the shared prefix should be a MULTIPLE of the 4-page run grain
+#     (1024 tokens @page=256): a 2-page prefix shifts every row's quads
+#     off alignment and the superpage-run predicate falls back.
+PREFIX = 1024
 if os.environ.get("SAGE_TPS_SMOKE"):  # tiny CPU smoke of the same flow
     STEPS, Hq, Hk = 3, 4, 2
     LENGTHS = [900, 700, 512, 300]
@@ -68,11 +75,14 @@ def main():
                                   for t in range(L - PREFIX)]
         adm = alloc.admit(tokens)
         hits += adm.n_cached_pages
-        # decode growth room: one extra page per slot
-        row = list(adm.pages) + alloc._pool.reserve(1)
+        # decode growth room: an aligned QUAD per slot — a single growth
+        # page would break the row's run alignment the moment a sequence
+        # crosses its page boundary (rule (2) above applies to growth too)
+        row = list(adm.pages) + alloc._pool.reserve(4)
         alloc.commit(tokens, adm.pages)
         rows.append(row)
-    width = pages_bucket_for(np.asarray(LENGTHS) + STEPS, PAGE)
+    width = -(-pages_bucket_for(np.asarray(LENGTHS) + STEPS, PAGE)
+              // 16) * 16                     # ways-friendly table width
     table = build_table([r[:width] if len(r) >= width else r
                          for r in rows], max_pages=width)
     logical = sum(alloc.pages_for(L) for L in LENGTHS)

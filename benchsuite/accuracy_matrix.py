@@ -4,8 +4,8 @@
 Sweeps the §4 config matrix — head dims, sequence lengths, causal, GQA,
 quant/PV modes, varlen, masks — through the COMPILED kernels and reports
 1 − cosine-sim against the fp32 jnp oracle, with the same bars the test
-suite uses (int8 modes < 1e-3, fp8 PV < 5e-3: e4m3 P has 3 mantissa bits,
-~2.5e-3 is inherent).  This is the breadth evidence that the interpret-mode
+suite uses (int8 modes < 1e-3, fp8 PV < 2.5e-3 — post r5 vm-fold fix the
+compiled fp8 path sits at 5e-4-1e-3).  This is the breadth evidence that the interpret-mode
 CPU suite and the small `-m tpu` lane compile-check: run it after kernel
 changes and paste the table into docs/PERF_NOTES.md.
 

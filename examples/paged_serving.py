@@ -75,7 +75,9 @@ def main():
           f"{time.perf_counter() - t0:.2f}s  "
           f"(pool {cache.num_pages}x{PAGE} pages)")
 
-    # growth room: every slot needs a page for decode appends
+    # growth room: every slot needs a page for decode appends (reserved
+    # as one page here for pool economy; latency-critical engines reserve
+    # aligned QUADS so superpage runs survive growth — docs/SERVING.md)
     for b in range(B):
         if lengths[b] % PAGE == 0:
             rows[b] += alloc.reserve(1)

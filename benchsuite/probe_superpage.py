@@ -11,9 +11,10 @@ fetch R physically-consecutive, R-aligned pages per DMA block
 program count drops R-fold while the table, the allocator, and prefix
 sharing all stay at page=256.
 
-Pool layout here is CONTIGUOUS (a fresh LIFO allocator gives ascending
-runs — the prefix-cached-serving common case); the mixed fragmented case
-falls back per run group (sageattn_decode_paged's run detection).
+Pool layout here is CONTIGUOUS (fresh pools and the run-aware allocators
+give aligned ascending runs — the prefix-cached-serving common case);
+production falls back to the per-page kernel via sageattn_decode_paged's
+batch-level lax.cond when the traced table fragments.
 
 Usage:
   PYTHONPATH=/root/.axon_site:. python benchsuite/probe_superpage.py

@@ -510,22 +510,13 @@ class TestSuperpageRuns:
         monkeypatch.delenv("SAGE_PAGED_RUNS", raising=False)
         lens = (2048, 900) if name == "dead-tail" else (2048, 1700)
         q, k, v, cache, _, lengths = self._cache(rows, lens)
-        B = q.shape[0]
         qd = q[:, :, :1].astype(jnp.float32)
-        qfull = jnp.concatenate([qd] * 2, 2)[:, :, :1]  # [B,Hk,1,D]
         out = sageattn_decode_paged(qd, cache,
                                     pages_bucket=pages_bucket_for(cache),
                                     interpret=True)
         for b in range(B):
             ref = _oracle(qd[b], k[b], v[b], int(lengths[b]))
             assert calc_diff(out[b], ref) < BAR, (name, b)
-
-    def test_predicate(self):
-        # the traced all-live-groups-aligned predicate via outputs: the
-        # dead-tail case must take the run path (same result either way —
-        # covered above); here just pin _select/env interplay
-        import os
-        assert os.environ.get("SAGE_PAGED_RUNS") is None
 
 
 class TestRunAwareAllocator:

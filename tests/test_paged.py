@@ -511,6 +511,7 @@ class TestSuperpageRuns:
         lens = (2048, 900) if name == "dead-tail" else (2048, 1700)
         q, k, v, cache, _, lengths = self._cache(rows, lens)
         qd = q[:, :, :1].astype(jnp.float32)
+        B = q.shape[0]
         out = sageattn_decode_paged(qd, cache,
                                     pages_bucket=pages_bucket_for(cache),
                                     interpret=True)

@@ -218,6 +218,25 @@ def main():
     print(f"{'paged decode ragged 2-seq shuffled tables':<52} diff={d:.2e}  "
           f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
 
+    # r5 superpage-run path: contiguous aligned tables take the run
+    # kernel through the wrapper's lax.cond — the DEFAULT for fresh /
+    # run-aware-allocated pools, so its compiled numerics get a row
+    alloc2 = PageAllocator(64, PAGE)
+    tablec = build_table([alloc2.reserve(20), alloc2.reserve(20)],
+                         max_pages=20)
+    pcc = paged_prefill(kp2, vp2, jnp.asarray(lens), tablec, num_pages=64)
+    outc = jax.jit(lambda a, c: sageattn_decode_paged(a, c))(q2, pcc)
+    d = 0.0
+    for b, L in enumerate(lens):
+        refb = sdpa(q2[b:b + 1], jnp.repeat(kp2[b:b + 1, :, :L], 4, 1),
+                    jnp.repeat(vp2[b:b + 1, :, :L], 4, 1))
+        d = max(d, float(calc_diff(outc[b:b + 1], refb)))
+    ok = d < 2e-3
+    if not ok:
+        FAILS.append("paged-runs")
+    print(f"{'paged decode contiguous (superpage runs)':<52} diff={d:.2e}  "
+          f"bar=2e-03  {'OK' if ok else 'FAIL'}", flush=True)
+
     out = jax.jit(lambda a, c: sageattn_decode_paged(
         a, c, sliding_window=1024))(q2, pc)
     d = 0.0

@@ -14,12 +14,16 @@ from sageattention_tpu.utils.testing import time_fn
 print("device:", jax.devices()[0].device_kind, flush=True)
 ks = jax.random.split(jax.random.PRNGKey(0), 2)
 
-# attention-tile-like contraction: (S, D) x (D, S) per head/batch, batched
-# like the QK^T grid (B*H batches of 8192x128 @ 128x8192)
+# Square peaks first (the real MXU-rate anchor: compute-bound), then the
+# attention-tile-like thin contractions for context — those write O(S^2)
+# f32 to HBM and are bandwidth-bound in XLA (the attention kernel keeps s
+# in VMEM, which is exactly the advantage a fused kernel has).
 for name, dt, pref in (("bf16", jnp.bfloat16, jnp.float32),
                        ("int8", jnp.int8, jnp.int32)):
-    for BH, M, K, N in ((16, 8192, 128, 8192),   # QK^T-like
-                        (16, 8192, 8192, 128)):  # PV-like
+    for BH, M, K, N in ((1, 8192, 8192, 8192),   # square peak
+                        (4, 4096, 4096, 4096),   # square peak, batched
+                        (16, 8192, 128, 8192),   # QK^T-like (bw-bound)
+                        (16, 8192, 8192, 128)):  # PV-like (bw-bound)
         a = jax.random.normal(ks[0], (BH, M, K)).astype(jnp.bfloat16)
         b = jax.random.normal(ks[1], (BH, K, N)).astype(jnp.bfloat16)
         if dt == jnp.int8:

@@ -46,9 +46,13 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q, k, v = (jax.random.normal(kk, (T, H, D), jnp.bfloat16) for kk in ks)
 
-    import functools
-    fn = jax.jit(functools.partial(sa.sageattn_varlen, is_causal=True))
-    out = fn(q, k, v, cu, cu, max(lengths), max(lengths))
+    # one cu argument used for BOTH q and k inside the trace: the causal
+    # guard verifies packing equality by array identity, which two
+    # separate jit parameters (distinct tracers) cannot satisfy
+    mq = max(lengths)
+    fn = jax.jit(lambda q_, k_, v_, cu_: sa.sageattn_varlen(
+        q_, k_, v_, cu_, cu_, mq, mq, is_causal=True))
+    out = fn(q, k, v, cu)
 
     worst = 0.0
     for i, L in enumerate(lengths):
@@ -60,7 +64,7 @@ def main():
         print(f"seq {i} len {L:>6}: 1-cossim vs dense oracle {d:.2e}")
     print(f"worst {worst:.2e} ({'OK' if worst < 1e-3 else 'FAIL'})")
 
-    t = time_fn(fn, q, k, v, cu, cu, max(lengths), max(lengths), reps=10)
+    t = time_fn(fn, q, k, v, cu, reps=10)
     toks = T / t
     print(f"prefill pack of {len(lengths)} seqs, {T} tokens: "
           f"{t*1e3:.2f} ms ({toks/1e6:.2f} M tokens/s attention-only)")

@@ -72,6 +72,10 @@ def _paged_kernel(
     #                 each stream's block is (R, 1, page, D) so one DMA
     #                 program moves R pages — the page-granularity tax is
     #                 program COUNT, not bytes (probe_superpage.py)
+    emit_state: bool,  # also write the per-row lse (base-2, lane-
+    #                 replicated (TQ, LANES)) — the partial-merge hook for
+    #                 the deferred-append serving step (paged.py
+    #                 paged_decode_step_deferred) and ring-style merges
 ):
     R = run_len
     n_streams = ways // R
@@ -82,7 +86,11 @@ def _paged_kernel(
     k_refs = rest[0:n_streams]
     ks_refs = rest[n_streams:2 * n_streams]
     v_refs = rest[2 * n_streams:3 * n_streams]
-    vs_ref, vm_ref, o_ref, m_scr, l_scr, acc_scr = rest[3 * n_streams:]
+    if emit_state:
+        (vs_ref, vm_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = rest[3 * n_streams:]
+    else:
+        vs_ref, vm_ref, o_ref, m_scr, l_scr, acc_scr = rest[3 * n_streams:]
 
     def k_tile(w):
         return k_refs[w // R][w % R, 0]
@@ -212,6 +220,13 @@ def _paged_kernel(
         o = acc_scr[...] * _bcast(1.0 / jnp.where(l == 0.0, 1.0, l), D)
         o = o * vs_ref[0, 0] + vm_ref[0, 0]               # (1, D) broadcasts
         o_ref[0, 0] = o.astype(o_ref.dtype)
+        if emit_state:
+            # base-2 lse, lane-replicated (per-row stores pay a lane
+            # relayout — CLAUDE.md gotcha); rows that saw nothing get a
+            # floor the merge treats as zero weight
+            lse_ref[0, 0] = jnp.where(
+                l > 0.0, m_scr[...] + jnp.log2(jnp.where(l > 0.0, l, 1.0)),
+                -1e30)
 
 
 def paged_decode_call(
@@ -232,6 +247,8 @@ def paged_decode_call(
     ways: int = 1,    # concurrent page streams per grid step (must divide
     #                   n_pages; wrapper rounds the bucket up) — the paged
     #                   counterpart of AttnConfig.kv_split
+    emit_state: bool = False,  # also return the per-row base-2 lse
+    #                   (lane-replicated (TQ, LANES)) for partial merges
     run_len: int = 1,  # R: fetch R physically-consecutive, R-aligned pages
     #                   per DMA block ((R,1,page,D) — a regular strided
     #                   slice of the pool, no relayout).  The caller must
@@ -304,7 +321,8 @@ def paged_decode_call(
     )
     kernel = functools.partial(_paged_kernel, n_pages=n_steps,
                                page=page, window=window, sliding=sliding,
-                               sinks=sinks, ways=ways, run_len=R)
+                               sinks=sinks, ways=ways, run_len=R,
+                               emit_state=emit_state)
     scalars = [table_eff.astype(jnp.int32), lengths.astype(jnp.int32),
                lpage.astype(jnp.int32), win_lo.astype(jnp.int32)]
     if R > 1:
@@ -314,17 +332,25 @@ def paged_decode_call(
         pltpu.VMEM((TQ, LANES), jnp.float32),
         pltpu.VMEM((TQ, D), jnp.float32),
     ]
+    out_specs = pl.BlockSpec((1, 1, TQ, D),
+                             lambda b, h, jp, *_: (b, h, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((B, Hg, TQ, D), jnp.bfloat16)
+    if emit_state:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, TQ, LANES),
+                                  lambda b, h, jp, *_: (b, h, 0, 0)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, Hg, TQ, LANES), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalars),
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, TQ, D),
-                                   lambda b, h, jp, *_: (b, h, 0, 0)),
+            out_specs=out_specs,
             scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hg, TQ, D), jnp.bfloat16),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,

@@ -403,6 +403,60 @@ def paged_append(cache: PagedKVCache, k_new, v_new,
                           lengths=cache.lengths + grow)
 
 
+def paged_decode_step_deferred(
+    q,
+    cache: PagedKVCache,
+    k_new,
+    v_new,
+    *,
+    pages_bucket: int = 0,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """One continuous-batching step with the append DEFERRED past the
+    attention read: the heavy paged kernel attends the PRE-append cache
+    while the new token's exact contribution is merged from (q, k_new,
+    v_new) directly, so the kernel and the append are data-independent
+    inside the step.  Measured NEUTRAL on v5e (logs/r5_deferred.log:
+    1328 vs 1297 us/step, numerics 3.9e-6): XLA keeps the append in-place
+    by ordering it after the kernel's pool reads, so the hoped-for
+    overlap does not materialize — the fused-append kernel remains the
+    documented next step (PERF_NOTES "Serving-step anatomy").  Kept as
+    the exact-merge reference implementation; its ``return_state`` lse
+    plumbing is independently useful (partial merges, ring-style
+    serving).
+
+    Exact softmax merge via the kernel's lse (``return_state``):
+    out = (e^{lse_c - m} * o_c + e^{s1 - m} * v1) / (e^{lse_c - m} + e^{s1 - m}),
+    s1 = q.k1 * sm_scale.  The merged step uses the UNQUANTIZED new token
+    (slightly more accurate than the cache codes the next step reads — the
+    difference is bounded by the per-token quant error, same order as the
+    cache itself).  Plain T=1 decode only.
+
+    Returns (out [B, Hq, 1, D], new_cache).  HND only.
+    """
+    B, Hq, T, D = q.shape
+    if T != 1:
+        raise ValueError("deferred step is T=1 decode only")
+    Hk = cache.k8_pool.shape[1]
+    G = Hq // Hk
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    o_c, lse_c = sageattn_decode_paged(
+        q, cache, pages_bucket=pages_bucket, sm_scale=sm_scale,
+        return_state=True, interpret=interpret)
+    new_cache = paged_append(cache, k_new, v_new)
+    k1 = jnp.repeat(k_new, G, axis=1).astype(jnp.float32)  # [B, Hq, 1, D]
+    v1 = jnp.repeat(v_new, G, axis=1).astype(jnp.float32)
+    s1 = jnp.sum(q.astype(jnp.float32) * k1, axis=-1) * sm_scale  # [B,Hq,1]
+    m = jnp.maximum(lse_c, s1)
+    w_c = jnp.exp(lse_c - m)
+    w_1 = jnp.exp(s1 - m)
+    out = ((w_c[..., None] * o_c.astype(jnp.float32) + w_1[..., None] * v1)
+           / (w_c + w_1)[..., None])
+    return out.astype(o_c.dtype), new_cache
+
+
 def paged_trim(cache: PagedKVCache, n) -> PagedKVCache:
     """Roll back the last ``n`` tokens per sequence (speculative decoding:
     rejected draft tokens; scalar or [B] — each slot its own accept
@@ -464,6 +518,9 @@ def sageattn_decode_paged(
     is_causal: bool = True,
     sliding_window: int = 0,
     attention_sinks: int = 0,
+    return_state: bool = False,  # also return the per-row natural-log lse
+    # [B, Hq, T] — the partial-merge hook (plain T=1 decode only; see
+    # paged_decode_step_deferred)
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Attention of ``T`` fresh tokens per sequence against the paged pool.
@@ -589,6 +646,9 @@ def sageattn_decode_paged(
                 or cache.num_pages % run_len):
             run_len = 1
 
+    if return_state and (sliding_window or T > 1):
+        raise ValueError("return_state supports plain T=1 decode only")
+
     def _decode(rl):
         def f(table_arg):
             return paged_decode_call(
@@ -598,7 +658,7 @@ def sageattn_decode_paged(
                 n_pages=n_pages,
                 window=T if (is_causal and T > 1) else 1,
                 lpage=lpage, win_lo=win_lo, sinks=attention_sinks,
-                ways=ways, run_len=rl,
+                ways=ways, run_len=rl, emit_state=return_state,
                 interpret=interpret,
             )
         return f
@@ -617,9 +677,23 @@ def sageattn_decode_paged(
         out = jax.lax.cond(runs_ok, _decode(run_len), _decode(1), table_eff)
     else:
         out = _decode(1)(table_eff)
+    lse = None
+    if return_state:
+        out, lse = out
+        lse = lse[:, :, :rows, 0] / LOG2E          # base-2 -> natural
+        lse = lse.reshape(B, Hq, 1) if fold else lse
+        # smooth_k repair: the pool stores K centered by k_mean, so the
+        # kernel's lse is shifted by -q.km*sm_scale (shift-invariance
+        # hides it from the OUTPUT, not from lse) — same correction as
+        # the reference's return_lse (`core.py:328-331`)
+        kmq = jnp.repeat(cache.k_mean, Hq // Hk, axis=1)   # [1,Hq,1,D]
+        lse = lse + jnp.sum(q.astype(jnp.float32) * kmq,
+                            axis=-1) * sm_scale
     out = out[:, :, :rows]
     if fold:
         out = out.reshape(B, Hq, 1, D)
     if not layout.is_hnd:
         out = jnp.swapaxes(out, 1, 2)
+    if return_state:
+        return out, lse
     return out

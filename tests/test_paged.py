@@ -557,3 +557,64 @@ class TestRunAwareAllocator:
         pool.release(rows[1])
         got = pool.reserve(8)
         assert list(got)[:8] == list(rows[1]) + list(rows[5])
+
+
+class TestDeferredStep:
+    """paged_decode_step_deferred: attention over the pre-append cache +
+    exact softmax merge of the new token's contribution == append-then-
+    decode (up to the new token being read unquantized vs its cache
+    codes), with the kernel and the append data-independent in the step."""
+
+    def _setup(self, B=2, Hq=4, Hk=2, D=64, lens=(300, 517)):
+        k, v, s_pad = _mk_ragged(B, Hk, list(lens), D, seed=41)
+        # channel-biased K: makes k_mean large, so the lse smooth-k repair
+        # (and the merge's domain consistency) is actually load-bearing
+        k = k.at[..., :2].add(jnp.asarray([7.0, -5.0]))
+        cache, _, _ = _build(k, v, list(lens), shuffle_seed=3)
+        r = jax.random.split(jax.random.PRNGKey(42), 3)
+        q = jax.random.normal(r[0], (B, Hq, 1, D), jnp.float32)
+        k1 = jax.random.normal(r[1], (B, Hk, 1, D), jnp.float32)
+        v1 = jax.random.normal(r[2], (B, Hk, 1, D), jnp.float32)
+        return q, k, v, k1, v1, cache, list(lens)
+
+    def test_matches_append_then_decode(self):
+        from sageattention_tpu.paged import paged_decode_step_deferred
+        q, k, v, k1, v1, cache, lens = self._setup()
+        bucket = pages_bucket_for(np.asarray(lens) + 1, PAGE)
+        ref = sageattn_decode_paged(q, paged_append(cache, k1, v1),
+                                    pages_bucket=bucket, interpret=True)
+        out, cache2 = paged_decode_step_deferred(
+            q, cache, k1, v1, pages_bucket=bucket, interpret=True)
+        assert calc_diff(out, ref) < 5e-4
+        assert [int(x) for x in cache2.lengths] == [L + 1 for L in lens]
+        # exact vs the dense oracle including the new token
+        for b in range(2):
+            kk = jnp.concatenate([k[b, :, :lens[b]], k1[b]], axis=1)
+            vv = jnp.concatenate([v[b, :, :lens[b]], v1[b]], axis=1)
+            d = calc_diff(out[b], _oracle(q[b], kk, vv, lens[b] + 1))
+            assert d < BAR, b
+
+    def test_return_state_lse(self):
+        # the emitted lse matches the oracle's logsumexp over live tokens
+        q, k, v, k1, v1, cache, lens = self._setup()
+        out, lse = sageattn_decode_paged(
+            q, cache, pages_bucket=pages_bucket_for(cache),
+            return_state=True, interpret=True)
+        G = q.shape[1] // k.shape[1]
+        sm = 1.0 / (k.shape[-1] ** 0.5)
+        for b in range(2):
+            ke = jnp.repeat(k[b, :, :lens[b]], G, axis=0)
+            s = jnp.einsum("htd,hsd->hts", q[b].astype(jnp.float32),
+                           ke.astype(jnp.float32)) * sm
+            ref = jax.scipy.special.logsumexp(s, axis=-1)
+            # int8 logits carry ~1% relative error at |s|~10 -> lse within
+            # ~0.1 nat; the deferred merge only needs this order (one
+            # token's weight off by e^0.1 among thousands)
+            assert float(jnp.max(jnp.abs(lse[b] - ref))) < 1.5e-1, b
+
+    def test_rejects_windows(self):
+        from sageattention_tpu.paged import paged_decode_step_deferred
+        q, k, v, k1, v1, cache, lens = self._setup()
+        with pytest.raises(ValueError):
+            sageattn_decode_paged(q, cache, sliding_window=128,
+                                  return_state=True, interpret=True)

@@ -457,6 +457,73 @@ def paged_decode_step_deferred(
     return out.astype(o_c.dtype), new_cache
 
 
+def paged_decode_block_staged(
+    qs,
+    cache: PagedKVCache,
+    ks_new,
+    vs_new,
+    *,
+    pages_bucket: int = 0,
+    sm_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """T continuous-batching steps with ONE pool append (block staging).
+
+    Built to test whether the serving scan's +800 us/step over
+    decode-only was the per-step pool carry chain: T decodes run against
+    a CONSTANT pool (data-independent), each step's not-yet-appended
+    block prefix merged exactly via the kernel lse (``return_state``),
+    then one T-token append.  Measured NEUTRAL on v5e like the deferred
+    step (logs/r5_staged.log: 1.02-1.03x, numerics 4.2e-6) — the residual
+    is invariant to classic/deferred/staged/unrolled structure
+    (logs/r5_scan_overhead.log), pointing at the kernel<->small-op
+    transition cost itself; PERF_NOTES has the anatomy.  Kept as the
+    exact-merge reference for block-wise serving:
+
+        out_t = merge(kernel(q_t, cache), dense_attn(q_t, block[:t+1]))
+
+    Causal within the block; the in-block term uses the unquantized new
+    tokens (the next block reads them quantized — difference bounded by
+    the per-token quant error).  Plain full-attention decode only.
+
+    ``qs``/``ks_new``/``vs_new``: [T, B, H, 1, D] (a scan-style block).
+    Returns (outs [T, B, Hq, 1, D], new_cache).  HND only.
+    """
+    T = qs.shape[0]
+    B, Hq, _, D = qs.shape[1:]
+    Hk = cache.k8_pool.shape[1]
+    G = Hq // Hk
+    if sm_scale is None:
+        sm_scale = 1.0 / (D ** 0.5)
+    kb = jnp.transpose(ks_new[:, :, :, 0], (1, 2, 0, 3))  # [B, Hk, T, D]
+    vb = jnp.transpose(vs_new[:, :, :, 0], (1, 2, 0, 3))
+    kbe = jnp.repeat(kb, G, axis=1).astype(jnp.float32)  # [B, Hq, T, D]
+    vbe = jnp.repeat(vb, G, axis=1).astype(jnp.float32)
+    outs = []
+    for t in range(T):
+        q1 = qs[t]                                      # [B, Hq, 1, D]
+        o_c, lse_c = sageattn_decode_paged(
+            q1, cache, pages_bucket=pages_bucket, sm_scale=sm_scale,
+            return_state=True, interpret=interpret)
+        # in-block causal tail: tokens 0..t of the block
+        s_tail = jnp.einsum(
+            "bhod,bhtd->bhot", q1.astype(jnp.float32),
+            kbe[:, :, :t + 1]) * sm_scale               # [B, Hq, 1, t+1]
+        m_tail = jnp.max(s_tail, axis=-1)               # [B, Hq, 1]
+        w_tail = jnp.exp(s_tail - m_tail[..., None])
+        l_tail = jnp.sum(w_tail, axis=-1)
+        o_tail = jnp.einsum("bhot,bhtd->bhod", w_tail, vbe[:, :, :t + 1])
+        m = jnp.maximum(lse_c, m_tail + jnp.log(l_tail))
+        w_c = jnp.exp(lse_c - m)
+        w_t = jnp.exp(m_tail - m)                       # tail in its own m
+        den = w_c + w_t * l_tail
+        out = ((w_c[..., None] * o_c.astype(jnp.float32)
+                + w_t[..., None] * o_tail) / den[..., None])
+        outs.append(out.astype(o_c.dtype))
+    new_cache = paged_append(cache, kb, vb)
+    return jnp.stack(outs), new_cache
+
+
 def paged_trim(cache: PagedKVCache, n) -> PagedKVCache:
     """Roll back the last ``n`` tokens per sequence (speculative decoding:
     rejected draft tokens; scalar or [B] — each slot its own accept

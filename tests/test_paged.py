@@ -618,3 +618,33 @@ class TestDeferredStep:
         with pytest.raises(ValueError):
             sageattn_decode_paged(q, cache, sliding_window=128,
                                   return_state=True, interpret=True)
+
+
+class TestBlockStaged:
+    def test_matches_classic_steps(self):
+        from sageattention_tpu.paged import paged_decode_block_staged
+        B, Hq, Hk, D, T = 2, 4, 2, 64, 4
+        lens = [300, 517]
+        r = jax.random.split(jax.random.PRNGKey(0), 5)
+        k = jax.random.normal(r[0], (B, Hk, 768, D), jnp.float32)
+        k = k.at[..., :2].add(jnp.asarray([7.0, -5.0]))  # lse repair live
+        v = jax.random.normal(r[1], (B, Hk, 768, D), jnp.float32)
+        alloc = PageAllocator(16, PAGE)
+        rows = [alloc.reserve(3) + alloc.reserve(1) for _ in range(B)]
+        table = build_table(rows, max_pages=4)
+        cache = paged_prefill(k, v, jnp.asarray(lens), table, num_pages=16)
+        qs = jax.random.normal(r[2], (T, B, Hq, 1, D), jnp.float32)
+        kn = jax.random.normal(r[3], (T, B, Hk, 1, D), jnp.float32)
+        vn = jax.random.normal(r[4], (T, B, Hk, 1, D), jnp.float32)
+        bucket = pages_bucket_for(np.asarray(lens) + T, PAGE)
+        c = cache
+        refs = []
+        for t in range(T):
+            c = paged_append(c, kn[t], vn[t])
+            refs.append(sageattn_decode_paged(qs[t], c, pages_bucket=bucket,
+                                              interpret=True))
+        outs, c2 = paged_decode_block_staged(qs, cache, kn, vn,
+                                             pages_bucket=bucket,
+                                             interpret=True)
+        assert calc_diff(outs, jnp.stack(refs)) < 5e-4
+        assert [int(x) for x in c2.lengths] == [L + T for L in lens]

@@ -389,16 +389,48 @@ def paged_append(cache: PagedKVCache, k_new, v_new,
     else:
         active = jnp.asarray(active, bool)
         grow = jnp.where(active, T, 0).astype(jnp.int32)
-    for t in range(T):
-        pos = cache.lengths + t                             # [B]
-        phys = cache.page_table[bidx, pos // page]          # [B]
-        if active is not None:
-            phys = jnp.where(active, phys, cache.num_pages)  # drop target
-        off = pos % page                                    # [B]
-        k8_pool = k8_pool.at[phys, :, off].set(k8[:, :, t], mode="drop")
-        ks_pool = ks_pool.at[phys, :, 0, off].set(ks[:, :, t, 0],
-                                                  mode="drop")
-        v_pool = v_pool.at[phys, :, off].set(vq[:, :, t], mode="drop")
+    if B * T <= 32:
+        # Decode-class appends write via per-row dynamic_update_slice:
+        # XLA:TPU aliases DUS in-place where the drop-mode scatter forced
+        # a per-step copy of the k8/v pools inside serving scans —
+        # measured 1.29x on the serving step, bitwise-identical
+        # (r5_dus_probe.log / r5_step_profile2.log).  Inactive rows
+        # write their OLD token back (a 1-token read-modify-write no-op).
+        for t in range(T):
+            pos = cache.lengths + t                         # [B]
+            for b in range(B):
+                phys = cache.page_table[b, pos[b] // page]
+                off = pos[b] % page
+                k1 = k8[b:b + 1, :, t:t + 1]                # [1,Hk,1,D]
+                s1 = jnp.swapaxes(ks[b:b + 1, :, t:t + 1], 2, 3)
+                v1 = vq[b:b + 1, :, t:t + 1]
+                if active is not None:
+                    k_old = jax.lax.dynamic_slice(
+                        k8_pool, (phys, 0, off, 0), k1.shape)
+                    s_old = jax.lax.dynamic_slice(
+                        ks_pool, (phys, 0, 0, off), s1.shape)
+                    v_old = jax.lax.dynamic_slice(
+                        v_pool, (phys, 0, off, 0), v1.shape)
+                    k1 = jnp.where(active[b], k1, k_old)
+                    s1 = jnp.where(active[b], s1, s_old)
+                    v1 = jnp.where(active[b], v1, v_old)
+                k8_pool = jax.lax.dynamic_update_slice(
+                    k8_pool, k1, (phys, 0, off, 0))
+                ks_pool = jax.lax.dynamic_update_slice(
+                    ks_pool, s1, (phys, 0, 0, off))
+                v_pool = jax.lax.dynamic_update_slice(
+                    v_pool, v1, (phys, 0, off, 0))
+    else:
+        for t in range(T):
+            pos = cache.lengths + t                         # [B]
+            phys = cache.page_table[bidx, pos // page]      # [B]
+            if active is not None:
+                phys = jnp.where(active, phys, cache.num_pages)  # drop
+            off = pos % page                                # [B]
+            k8_pool = k8_pool.at[phys, :, off].set(k8[:, :, t], mode="drop")
+            ks_pool = ks_pool.at[phys, :, 0, off].set(ks[:, :, t, 0],
+                                                      mode="drop")
+            v_pool = v_pool.at[phys, :, off].set(vq[:, :, t], mode="drop")
     return cache._replace(k8_pool=k8_pool, ks_pool=ks_pool, v_pool=v_pool,
                           lengths=cache.lengths + grow)
 
